@@ -1,0 +1,362 @@
+"""Fused Arrow-batch tagging stage: tokenize -> emissions -> Viterbi -> mentions.
+
+This is the engine's analog of the reference's predict loop
+(predict_bert_crf.py:141-173: per-sentence convert_single_example ->
+sess.run -> strip -> extract), re-expressed as ONE ``mapInPandas``
+stage over whole Arrow record batches — the north_star's explicit
+replacement for the row-at-a-time serving scripts.  Per-batch dynamic
+padding reproduces pad_sequences' batch-max semantics
+(data_preprocess.py:228-242, the shadowed ``max_len`` quirk).
+
+Two decoders share the Viterbi kernel (functions/crf.py):
+
+* mode="rules":  interpretable lexer-class emissions + hard BMES
+  constraint transitions.  Output provably equals a relational
+  window rule -> DuckDB-oracle-checkable end-to-end.
+* mode="neural": seeded hash-vocab embedding + BiLSTM + dense +
+  seeded CRF transitions (model_lstm_crf.py graph shape, M1-M7).
+  Decode parity is pinned by committed fixtures.
+* mode="cascade": dual-head decode — 5-label BMEO boundary Viterbi +
+  type argmax + trans_label merge (run_multitask_bert_crf.py:620-635,
+  ner_utils.py:9-39; the label-vocab-shrink speedup the reference
+  notes at predict_multitask_lm_model.py:8-10).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CODE_ETYPES, DOC_ETYPES, DOC_OBJ_WORDS, DOC_OP_WORDS, SEED
+from ..functions.crf import bmes_transitions, viterbi_decode_batch
+from ..functions.hashing import md5_int
+from ..functions.model import SeededBiLSTM, class_emissions
+
+TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]")
+IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+KW_FUNC = frozenset({"def", "func", "function", "void"})
+KW_CLASS = frozenset({"class", "type"})
+KW_IMPORT = frozenset({"import", "from"})
+KW_ALL = KW_FUNC | KW_CLASS | KW_IMPORT | {"package"}
+
+MAX_LEN = 64
+NEURAL_VOCAB = 4096
+
+MENTION_COLS = "begin int, end int, text string, etype string, score float, model string"
+
+
+# --------------------------------------------------------------------------
+# tokenization (P4-P7 analog: precompiled regex, whole batch at once)
+# --------------------------------------------------------------------------
+
+def tokenize_batch(sentences: pd.Series, max_len: int = MAX_LEN):
+    """-> (toks [B,S] object, tbegin [B,S] i32, tend [B,S] i32, lengths [B]).
+
+    S is the batch max (dynamic per-batch padding, P3 semantics);
+    sequences longer than max_len truncate like convert_single_example
+    (run_bert_crf.py:378-381).
+    """
+    all_toks, all_b, all_e = [], [], []
+    for s in sentences:
+        ms = TOKEN_RE.finditer(s)
+        toks, bs, es = [], [], []
+        for m in ms:
+            toks.append(m.group(0))
+            bs.append(m.start())
+            es.append(m.end())
+            if len(toks) >= max_len:
+                break
+        all_toks.append(toks)
+        all_b.append(bs)
+        all_e.append(es)
+    lengths = np.array([max(len(t), 1) for t in all_toks], dtype=np.int64)
+    S = max(1, int(lengths.max()))
+    B = len(sentences)
+    toks = np.full((B, S), "", dtype=object)
+    tbegin = np.zeros((B, S), dtype=np.int32)
+    tend = np.zeros((B, S), dtype=np.int32)
+    for i, (t, b, e) in enumerate(zip(all_toks, all_b, all_e)):
+        n = len(t)
+        if n:
+            toks[i, :n] = t
+            tbegin[i, :n] = b
+            tend[i, :n] = e
+    return toks, tbegin, tend, lengths
+
+
+def _shift(mat: np.ndarray, k: int, fill="") -> np.ndarray:
+    """Row-wise shift right by k (prev-token features; no cross-row leak)."""
+    out = np.full_like(mat, fill)
+    if k < mat.shape[1]:
+        out[:, k:] = mat[:, :-k] if k else mat
+    return out
+
+
+def _isin(mat: np.ndarray, vocab: frozenset) -> np.ndarray:
+    flat = pd.Series(mat.ravel())
+    return flat.isin(vocab).to_numpy().reshape(mat.shape)
+
+
+# --------------------------------------------------------------------------
+# feature extraction -> token class ids
+# --------------------------------------------------------------------------
+
+def code_token_classes(toks: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Lexer-feature classes for source code: 0=O 1=func 2=class 3=module 4=package.
+
+    Bounded-lookbehind rules (vectorized row-wise shifts, zero per-row
+    Python): the code-domain analog of the reference's char-class
+    folding (data_preprocess.py:89-92) and BasicTokenizer feature prep.
+    """
+    B, S = toks.shape
+    flat = pd.Series(toks.ravel(), dtype=object)
+    is_ident = (
+        flat.str.match(IDENT_RE) & ~flat.isin(KW_ALL)
+    ).to_numpy().reshape(B, S)
+    p1 = _shift(toks, 1)
+    p2 = _shift(toks, 2)
+    p3 = _shift(toks, 3)
+    is_dot = (toks == ".") | (toks == "/")
+    p1_import = _isin(p1, KW_IMPORT)
+    p2_import = _isin(p2, KW_IMPORT)
+    p3_import = _isin(p3, KW_IMPORT)
+    # has a 'from' strictly before this position (distinguishes the
+    # imported-symbol slot of `from X import Y` from a module name)
+    seen_from = np.cumsum(p1 == "from", axis=1) > 0
+
+    cls = np.zeros((B, S), dtype=np.int64)
+    cls[is_ident & _isin(p1, KW_FUNC)] = 1
+    cls[is_ident & _isin(p1, KW_CLASS)] = 2
+    mod_first = is_ident & (
+        ((p1 == "import") & ~seen_from)
+        | (p1 == "from")
+        | ((p1 == '"') & p2_import)
+    )
+    ident_p2 = np.zeros((B, S), dtype=bool)
+    ident_p2[:, 2:] = is_ident[:, :-2]
+    mod_dot = is_dot & _shift(is_ident.astype(object), 1, fill=False).astype(bool) & p2_import
+    mod_second = is_ident & _shift(is_dot.astype(object), 1, fill=False).astype(bool) & ident_p2 & p3_import
+    cls[mod_first | mod_dot | mod_second] = 3
+    cls[is_ident & (p1 == "package")] = 4
+    # zero out padding
+    mask = np.arange(S)[None, :] < lengths[:, None]
+    return np.where(mask, cls, 0)
+
+
+def doc_token_classes(toks: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Word-class features for the `documents` word-soup domain:
+    0=O, 1=op, 2=obj.  Consecutive same-class runs form entities."""
+    B, S = toks.shape
+    flat = pd.Series(toks.ravel(), dtype=object)
+    cls = np.zeros(B * S, dtype=np.int64)
+    cls[flat.isin(frozenset(DOC_OP_WORDS)).to_numpy()] = 1
+    cls[flat.isin(frozenset(DOC_OBJ_WORDS)).to_numpy()] = 2
+    cls = cls.reshape(B, S)
+    mask = np.arange(S)[None, :] < lengths[:, None]
+    return np.where(mask, cls, 0)
+
+
+CLASS_FNS = {"code": (code_token_classes, CODE_ETYPES), "doc": (doc_token_classes, DOC_ETYPES)}
+
+
+# --------------------------------------------------------------------------
+# vectorized mention extraction from decoded tag ids
+# --------------------------------------------------------------------------
+
+def extract_mentions(tags: np.ndarray, toks: np.ndarray, tbegin: np.ndarray,
+                     tend: np.ndarray, lengths: np.ndarray,
+                     sentences: pd.Series, etypes: list[str],
+                     score: np.ndarray | None = None) -> pd.DataFrame:
+    """Pipeline extraction rule (spans.pipeline_rule) vectorized.
+
+    Handles arbitrary (possibly BMES-invalid) tag sequences: groups are
+    maximal adjacent chains B(M*)E of consistent type; singleton S
+    emits; everything else drops.  Returns columns
+    (row, begin, end, text, etype, score).
+    """
+    B, S = tags.shape
+    mask = (np.arange(S)[None, :] < lengths[:, None]) & (tags > 0)
+    r_idx, c_idx = np.nonzero(mask)
+    if len(r_idx) == 0:
+        return pd.DataFrame(columns=["row", "begin", "end", "text", "etype", "score"])
+    tag_v = tags[r_idx, c_idx]
+    b_code = (tag_v - 1) % 4  # 0=B 1=M 2=E 3=S
+    t_code = (tag_v - 1) // 4
+    # previous *adjacent* valid position in the same row
+    same_prev = np.zeros(len(r_idx), dtype=bool)
+    same_prev[1:] = (r_idx[1:] == r_idx[:-1]) & (c_idx[1:] == c_idx[:-1] + 1)
+    pb = np.roll(b_code, 1)
+    pt = np.roll(t_code, 1)
+    continues = same_prev & np.isin(b_code, (1, 2)) & np.isin(pb, (0, 1)) & (pt == t_code)
+    gid = np.cumsum(~continues)
+    df = pd.DataFrame({
+        "g": gid, "row": r_idx, "pos": c_idx, "b": b_code, "t": t_code,
+        "score": score[r_idx, c_idx] if score is not None else np.zeros(len(r_idx), dtype=np.float32),
+    })
+    agg = df.groupby("g", sort=False).agg(
+        row=("row", "first"), first_pos=("pos", "first"), last_pos=("pos", "last"),
+        first_b=("b", "first"), last_b=("b", "last"), n=("b", "size"),
+        t=("t", "first"), score=("score", "mean"),
+    )
+    ok = ((agg["first_b"] == 0) & (agg["last_b"] == 2) & (agg["n"] >= 2)) | (
+        (agg["first_b"] == 3) & (agg["n"] == 1)
+    )
+    m = agg[ok]
+    if m.empty:
+        return pd.DataFrame(columns=["row", "begin", "end", "text", "etype", "score"])
+    rows = m["row"].to_numpy()
+    begin = tbegin[rows, m["first_pos"].to_numpy()]
+    end = tend[rows, m["last_pos"].to_numpy()]
+    sent_arr = sentences.to_numpy()
+    text = [sent_arr[r][b:e] for r, b, e in zip(rows, begin, end)]
+    ety = np.asarray(etypes, dtype=object)[m["t"].to_numpy()]
+    return pd.DataFrame({
+        "row": rows, "begin": begin.astype("int32"), "end": end.astype("int32"),
+        "text": text, "etype": ety, "score": m["score"].to_numpy().astype("float32"),
+    })
+
+
+# --------------------------------------------------------------------------
+# the fused Spark stage
+# --------------------------------------------------------------------------
+
+def _ids_from_tokens(toks: np.ndarray, vocab_size: int = NEURAL_VOCAB) -> np.ndarray:
+    """Hash-vocab token ids — the scale-path analog of the char2id
+    broadcast lookup with UNK folding (data_preprocess.py:144-160):
+    no driver-side dictionary, deterministic on any executor."""
+    flat = pd.Series(toks.ravel(), dtype=object)
+    uniq, inv = np.unique(flat.to_numpy(), return_inverse=True)
+    uids = np.array([md5_int(u) % (vocab_size - 1) + 1 for u in uniq], dtype=np.int64)
+    ids = uids[inv].reshape(toks.shape)
+    ids[toks == ""] = 0
+    return ids
+
+
+def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
+                 sentence_col: str = "sentence", max_len: int = MAX_LEN,
+                 seed: int = SEED) -> DataFrame:
+    """sentences -> mention rows; all pass-through columns preserved.
+
+    Output adds (begin, end, text, etype, score, model); char offsets
+    into the sentence, end exclusive.
+    """
+    class_fn, etypes = CLASS_FNS[domain]
+    n_types = len(etypes)
+    pass_cols = df.columns
+    out_schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in pass_cols)
+    out_schema += ", " + MENTION_COLS
+    model_name = f"{mode}_{domain}_v1"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trans_c, start_c, end_c = bmes_transitions(n_types)
+        neural = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sents = pdf[sentence_col].astype(str)
+            toks, tb, te, lens = tokenize_batch(sents, max_len)
+            if mode == "rules":
+                cls = class_fn(toks, lens)
+                em = class_emissions(cls, n_types)
+                tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
+            elif mode in ("neural", "cascade"):
+                if neural is None:
+                    neural = SeededBiLSTM(
+                        NEURAL_VOCAB, 1 + 4 * n_types,
+                        n_attr=n_types + 1, seed=seed,
+                    )
+                ids = _ids_from_tokens(toks)
+                tags = _neural_decode(neural, ids, lens, n_types, mode)
+            else:
+                raise ValueError(mode)
+            mentions = extract_mentions(tags, toks, tb, te, lens, sents, etypes)
+            keys = pdf.reset_index(drop=True).iloc[mentions["row"].to_numpy()].reset_index(drop=True)
+            res = pd.concat(
+                [keys, mentions.drop(columns=["row"]).reset_index(drop=True)], axis=1
+            )
+            res["model"] = model_name
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _neural_decode(neural: SeededBiLSTM, ids: np.ndarray, lens: np.ndarray,
+                   n_types: int, mode: str) -> np.ndarray:
+    """Neural decode paths.
+
+    neural: full-tagset Viterbi with the seeded transition matrix (M7).
+    cascade: 5-label BMEO boundary Viterbi + attr-head argmax + the
+    trans_label merge rule — attr of O-boundary tokens masked to O
+    (ner_utils.py:28-34; loss-mask analog run_multitask_bert_crf.py:646-651).
+    """
+    if mode == "neural":
+        logits = neural.logits(ids, lens)
+        return viterbi_decode_batch(logits, neural.transitions.astype(np.float64), lens)
+    bnd_logits, attr_logits = neural.dual_logits(ids, lens)
+    # boundary head: O + B/M/E/S (5 labels) = tagset of ONE pseudo-type
+    bnd5 = np.zeros(bnd_logits.shape[:2] + (5,), dtype=np.float64)
+    # fold the full head onto 5 labels: O stays, per-boundary max over types
+    bnd5[:, :, 0] = bnd_logits[:, :, 0]
+    for b in range(4):
+        bnd5[:, :, 1 + b] = bnd_logits[:, :, 1 + b :: 4].max(axis=2)
+    trans5 = _boundary_transitions(neural)
+    bpath = viterbi_decode_batch(bnd5, trans5, lens)  # 0=O 1=B 2=M 3=E 4=S
+    attr = np.argmax(attr_logits, axis=2)  # 0=O-attr, 1..n_types
+    # trans_label merge: O boundary or O attr -> O
+    merged = np.where((bpath == 0) | (attr == 0), 0, (attr - 1) * 4 + bpath)
+    mask = np.arange(ids.shape[1])[None, :] < np.asarray(lens)[:, None]
+    return np.where(mask, merged, 0).astype(np.int32)
+
+
+def _boundary_transitions(neural: SeededBiLSTM) -> np.ndarray:
+    """Seeded 5x5 boundary transition matrix (deterministic slice of the
+    full seeded transitions — fixture-pinned like the rest)."""
+    t = neural.transitions
+    idx = [0, 1, 2, 3, 4]
+    return t[np.ix_(idx, idx)].astype(np.float64)
+
+
+def tag_sequences(df: DataFrame, *, domain: str = "code", mode: str = "rules",
+                  sentence_col: str = "sentence", max_len: int = MAX_LEN,
+                  seed: int = SEED) -> DataFrame:
+    """sentences -> per-token (tokens, tags) arrays — the decode-parity
+    surface used by fixtures and the metric operators (A3-A12)."""
+    class_fn, etypes = CLASS_FNS[domain]
+    n_types = len(etypes)
+    tagnames = np.asarray(
+        ["O"] + [f"{b}-{t}" for t in etypes for b in ("B", "M", "E", "S")], dtype=object
+    )
+    pass_cols = df.columns
+    out_schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in pass_cols)
+    out_schema += ", tokens array<string>, tags array<string>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trans_c, start_c, end_c = bmes_transitions(n_types)
+        neural = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sents = pdf[sentence_col].astype(str)
+            toks, _tb, _te, lens = tokenize_batch(sents, max_len)
+            if mode == "rules":
+                cls = class_fn(toks, lens)
+                em = class_emissions(cls, n_types)
+                tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
+            else:
+                if neural is None:
+                    neural = SeededBiLSTM(NEURAL_VOCAB, 1 + 4 * n_types,
+                                          n_attr=n_types + 1, seed=seed)
+                ids = _ids_from_tokens(toks)
+                tags = _neural_decode(neural, ids, lens, n_types, mode)
+            res = pdf.reset_index(drop=True).copy()
+            res["tokens"] = [list(toks[i, : lens[i]]) for i in range(len(pdf))]
+            res["tags"] = [list(tagnames[tags[i, : lens[i]]]) for i in range(len(pdf))]
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,103 @@
+"""End-to-end gates: mention P/R vs construction gold, triple P/R,
+content_sha lineage invariant (BASELINE.json input_hint / north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_funtool_spark.operators.segment import segment_lines
+from ner_funtool_spark.operators.tagger import tag_mentions
+from ner_funtool_spark.operators.triples import mentions_to_triples, with_salted_part
+from ner_funtool_spark.plans.kg import build_triples, detect_mentions
+from ner_funtool_spark.sources.code_table import gold_mentions, source_table
+
+N_FILES = 150
+MKEYS = ["repo", "path", "commit", "sent_id", "begin", "end", "text", "etype"]
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    df = source_table(spark, N_FILES, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    df = gold_mentions(spark, N_FILES, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_mention_pr_meets_gate(spark, src, gold):
+    """Entity-set-intersection P/R (the reference metric,
+    entity_evaluating.py:60-81, as an inner join) must be >= 0.95;
+    the rules decoder achieves 1.0 by construction."""
+    pred = detect_mentions(src, domain="code", mode="rules").select(*MKEYS).cache()
+    inter = pred.join(gold.select(*MKEYS), MKEYS, "inner").count()
+    p = inter / pred.count()
+    r = inter / gold.count()
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0
+
+
+def test_content_sha_lineage_invariant(spark, src):
+    """Every mention row carries the sha256 of its source content,
+    unchanged through segment+tag (per-row invariant, input_hint)."""
+    mentions = detect_mentions(src, domain="code", mode="rules")
+    joined = mentions.select("repo", "path", "content_sha").distinct().join(
+        src.select("repo", "path", F.sha2("content", 256).alias("expect")),
+        ["repo", "path"],
+    )
+    bad = joined.filter(F.col("content_sha") != F.col("expect")).count()
+    assert bad == 0
+    assert joined.count() > 0
+
+
+def test_triples_shape_and_predicates(spark, src):
+    triples = build_triples(src, mode="rules").cache()
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert preds <= {"DEFINES", "DEFINES_CLASS", "IMPORTS", "DECLARES_PACKAGE", "CONTAINS"}
+    assert {"DEFINES", "IMPORTS", "CONTAINS"} <= preds
+    # every file yields exactly one CONTAINS
+    n_contains = triples.filter(F.col("pred") == "CONTAINS").count()
+    assert n_contains == src.count()
+    # provenance travels
+    row = triples.filter(F.col("pred") == "DEFINES").select("provenance.*").first()
+    assert row["model"] == "rules_code_v1" and row["sent_id"] >= 0
+
+
+def test_triple_pr_vs_gold(spark, src, gold):
+    """Triple-level P/R >= 0.95 (north_rule gate): pipeline triples vs
+    triples derived from gold mentions through the same projection."""
+    got = build_triples(src, mode="rules", include_contains=False)
+    want = mentions_to_triples(
+        gold.join(src.select("repo", "path", "content_sha"), ["repo", "path"])
+        .withColumn("score", F.lit(0.0).cast("float"))
+        .withColumn("model", F.lit("rules_code_v1")),
+    )
+    keys = ["subj", "pred", "obj"]
+    g = got.select(*keys).distinct().cache()
+    w = want.select(*keys).distinct().cache()
+    inter = g.join(w, keys, "inner").count()
+    p, r = inter / g.count(), inter / w.count()
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0
+
+
+def test_salted_partitioning_is_deterministic_and_bounded(spark, src):
+    t = with_salted_part(build_triples(src, mode="rules"), n_parts=16, n_salt=4)
+    stats = t.groupBy("part", "salt").count()
+    assert stats.filter((F.col("part") < 0) | (F.col("part") >= 16)).count() == 0
+    assert stats.filter((F.col("salt") < 0) | (F.col("salt") >= 4)).count() == 0
+    # determinism: same rows -> same partitions on a second evaluation
+    a = t.groupBy("part", "salt").count().collect()
+    b = t.groupBy("part", "salt").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_generator_determinism(spark):
+    a = source_table(spark, 25, partitions=2).orderBy("path").collect()
+    b = source_table(spark, 25, partitions=5).orderBy("path").collect()
+    assert a == b  # partitioning must not affect content

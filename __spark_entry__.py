@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ner_funtool_spark import oracles  # noqa: E402
+from ner_funtool_spark.config import DOC_OBJ_WORDS_ALT, DOC_OP_WORDS_ALT  # noqa: E402
+from ner_funtool_spark.operators import metrics as M  # noqa: E402
+from ner_funtool_spark.operators.mentions_sql import (  # noqa: E402
+    doc_tag_pairs,
+    mentions_relational,
+)
 from ner_funtool_spark.plans.kg import build_triples, detect_mentions, documents_as_source  # noqa: E402
 
 
@@ -62,11 +68,72 @@ def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crf_mentions_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-CRF pipeline mentions with compare-ready column names."""
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    return m.select(
+        "repo", "path",
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("begin").alias("mbegin"), F.col("end").alias("mend"),
+        "text", "etype",
+    )
+
+
+def _relational_mentions_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions_relational(
+        _docs(spark, sf_dir), op_words=DOC_OP_WORDS_ALT, obj_words=DOC_OBJ_WORDS_ALT
+    )
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_tag_pairs(
+        _docs(spark, sf_dir), pred_op=DOC_OP_WORDS_ALT, pred_obj=DOC_OBJ_WORDS_ALT
+    )
+
+
+def _q_mentions_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _relational_mentions_alt(spark, sf_dir)
+
+
+def _q_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.tag_metrics(_pairs(spark, sf_dir))
+
+
+def _q_tag_metrics_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.tag_metrics_weighted_avg(_pairs(spark, sf_dir))
+
+
+def _q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.confusion_matrix(_pairs(spark, sf_dir))
+
+
+def _q_entity_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = ["repo", "path", "sent_id", "mbegin", "mend", "text", "etype"]
+    return M.entity_prf(
+        _crf_mentions_std(spark, sf_dir), _relational_mentions_alt(spark, sf_dir), keys
+    )
+
+
+def _q_label_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.label_f1(
+        _crf_mentions_std(spark, sf_dir),
+        _relational_mentions_alt(spark, sf_dir),
+        line_keys=["repo", "path"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
         "kg_triples": _q_kg_triples,
         "kg_mentions": _q_kg_mentions,
+        "mentions_relational": _q_mentions_relational,
+        "tag_metrics": _q_tag_metrics,
+        "tag_metrics_avg": _q_tag_metrics_avg,
+        "confusion_matrix": _q_confusion_matrix,
+        "entity_prf": _q_entity_prf,
+        "label_f1": _q_label_f1,
     }
 
 
@@ -75,4 +142,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": oracles.doc_triples_sql(),
         "kg_mentions": oracles.doc_mentions_sql(),
+        "mentions_relational": oracles.doc_mentions_alt_sql(),
+        "tag_metrics": oracles.tag_metrics_sql(),
+        "tag_metrics_avg": oracles.tag_metrics_avg_sql(),
+        "confusion_matrix": oracles.confusion_matrix_sql(),
+        "entity_prf": oracles.entity_prf_sql(),
+        "label_f1": oracles.label_f1_sql(),
     }

@@ -35,6 +35,14 @@ DOC_OBJ_WORDS = (
     "value", "data", "window",
 )
 
+# perturbed class lists: stand in for a second model's predictions so
+# the metric operators (A3-A12) have non-trivial P/R to compute
+DOC_OP_WORDS_ALT = ("join", "merge", "sort", "scan", "filter", "group", "agg", "query")
+DOC_OBJ_WORDS_ALT = (
+    "table", "row", "column", "key", "part", "batch", "stream", "line",
+    "value", "data", "vector",
+)
+
 PAD = "<PAD>"
 UNK = "<UNK>"
 

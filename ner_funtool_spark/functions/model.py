@@ -50,20 +50,21 @@ class SeededBiLSTM:
                  embed_dim: int = EMBED_DIM, hidden: int = HIDDEN_DIM,
                  seed: int = SEED):
         rng = np.random.RandomState(seed)
-        sc = 0.1
-        self.embed = rng.randn(vocab_size, embed_dim).astype(np.float32) * sc
+        # scales chosen so decoded paths vary with the input (a uniform
+        # 0.1-scale init collapses to one dominant tag — test_tagger.py)
+        self.embed = rng.randn(vocab_size, embed_dim).astype(np.float32)
         # one weight block per direction: [x->4H, h->4H, bias 4H]
-        self.wx = [rng.randn(embed_dim, 4 * hidden).astype(np.float32) * sc for _ in range(2)]
-        self.wh = [rng.randn(hidden, 4 * hidden).astype(np.float32) * sc for _ in range(2)]
-        self.b = [rng.randn(4 * hidden).astype(np.float32) * sc for _ in range(2)]
-        self.w_out = rng.randn(hidden, n_tags).astype(np.float32) * sc
-        self.b_out = rng.randn(n_tags).astype(np.float32) * sc
+        self.wx = [rng.randn(embed_dim, 4 * hidden).astype(np.float32) * 0.3 for _ in range(2)]
+        self.wh = [rng.randn(hidden, 4 * hidden).astype(np.float32) * 0.3 for _ in range(2)]
+        self.b = [rng.randn(4 * hidden).astype(np.float32) * 0.3 for _ in range(2)]
+        self.w_out = rng.randn(hidden, n_tags).astype(np.float32)
+        self.b_out = rng.randn(n_tags).astype(np.float32)
         # learned-CRF analog: seeded transition matrix (lstm_crf_layer.py:155-158)
-        self.transitions = rng.randn(n_tags, n_tags).astype(np.float32) * sc
+        self.transitions = rng.randn(n_tags, n_tags).astype(np.float32)
         # optional cascade attr head (M11)
         if n_attr is not None:
-            self.w_attr = rng.randn(hidden, n_attr).astype(np.float32) * sc
-            self.b_attr = rng.randn(n_attr).astype(np.float32) * sc
+            self.w_attr = rng.randn(hidden, n_attr).astype(np.float32)
+            self.b_attr = rng.randn(n_attr).astype(np.float32)
         self.hidden = hidden
 
     def _lstm(self, x: np.ndarray, mask: np.ndarray, d: int, reverse: bool) -> np.ndarray:

@@ -14,7 +14,12 @@ BMES labeling — which is exactly the window-function formulation below.
 
 from __future__ import annotations
 
-from .config import DOC_OBJ_WORDS, DOC_OP_WORDS
+from .config import (
+    DOC_OBJ_WORDS,
+    DOC_OBJ_WORDS_ALT,
+    DOC_OP_WORDS,
+    DOC_OP_WORDS_ALT,
+)
 from .operators.tagger import MAX_LEN
 
 
@@ -22,7 +27,8 @@ def _inlist(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
-def doc_mentions_cte(max_len: int = MAX_LEN) -> str:
+def doc_mentions_cte(max_len: int = MAX_LEN,
+                     op_words=DOC_OP_WORDS, obj_words=DOC_OBJ_WORDS) -> str:
     """CTE chain: documents -> (repo, path, sent_id, mbegin, mend, text, etype).
 
     Mirrors segment_lines (one line per doc: no newlines in the corpus)
@@ -38,8 +44,8 @@ toks AS (
 ),
 classed AS (
     SELECT *,
-           CASE WHEN tok IN ({_inlist(DOC_OP_WORDS)}) THEN 'op'
-                WHEN tok IN ({_inlist(DOC_OBJ_WORDS)}) THEN 'obj'
+           CASE WHEN tok IN ({_inlist(op_words)}) THEN 'op'
+                WHEN tok IN ({_inlist(obj_words)}) THEN 'obj'
                 ELSE NULL END AS cls,
            (COALESCE(SUM(length(tok)) OVER (
                 PARTITION BY doc_id ORDER BY pos
@@ -74,6 +80,150 @@ mention_rows AS (
 
 def doc_mentions_sql() -> str:
     return f"WITH {doc_mentions_cte()} SELECT * FROM mention_rows"
+
+
+def doc_mentions_alt_sql() -> str:
+    """Relational extractor with the perturbed ('second model') lists."""
+    return (
+        "WITH "
+        + doc_mentions_cte(op_words=DOC_OP_WORDS_ALT, obj_words=DOC_OBJ_WORDS_ALT)
+        + " SELECT * FROM mention_rows"
+    )
+
+
+def _pairs_cte(max_len: int = MAX_LEN, remove_o: bool = True) -> str:
+    """(gold, pred) token-class pairs: gold = standard lists, pred = alt."""
+    where = "WHERE gold <> 'O'" if remove_o else ""
+    return f"""
+toks AS (
+    SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+    FROM (SELECT *, list_slice(string_split(text, ' '), 1, {max_len}) AS l
+          FROM documents)
+),
+pairs AS (
+    SELECT CASE WHEN tok IN ({_inlist(DOC_OP_WORDS)}) THEN 'op'
+                WHEN tok IN ({_inlist(DOC_OBJ_WORDS)}) THEN 'obj'
+                ELSE 'O' END AS gold,
+           CASE WHEN tok IN ({_inlist(DOC_OP_WORDS_ALT)}) THEN 'op'
+                WHEN tok IN ({_inlist(DOC_OBJ_WORDS_ALT)}) THEN 'obj'
+                ELSE 'O' END AS pred
+    FROM toks
+),
+pr AS (SELECT * FROM pairs {where})"""
+
+
+def tag_metrics_sql() -> str:
+    """Per-tag P/R/F1, tag universe = gold tags (tag_evaluating.py)."""
+    return f"""
+WITH {_pairs_cte()},
+gn AS (SELECT gold AS tag, count(*) AS gold_n FROM pr GROUP BY 1),
+pn AS (SELECT pred AS tag, count(*) AS pred_n FROM pr GROUP BY 1),
+tp AS (SELECT gold AS tag, count(*) AS tp FROM pr WHERE gold = pred GROUP BY 1)
+SELECT g.tag,
+       COALESCE(tp.tp, 0)::BIGINT AS tp,
+       g.gold_n::BIGINT AS gold_n,
+       COALESCE(pn.pred_n, 0)::BIGINT AS pred_n,
+       round(CASE WHEN COALESCE(pn.pred_n, 0) = 0 THEN 0.0
+                  ELSE COALESCE(tp.tp, 0) / pn.pred_n END, 6) AS precision,
+       round(COALESCE(tp.tp, 0) / g.gold_n, 6) AS recall,
+       round(2 * (CASE WHEN COALESCE(pn.pred_n, 0) = 0 THEN 0.0
+                       ELSE COALESCE(tp.tp, 0) / pn.pred_n END)
+               * (COALESCE(tp.tp, 0) / g.gold_n)
+             / ((CASE WHEN COALESCE(pn.pred_n, 0) = 0 THEN 0.0
+                      ELSE COALESCE(tp.tp, 0) / pn.pred_n END)
+                + (COALESCE(tp.tp, 0) / g.gold_n) + 1e-10), 6) AS f1
+FROM gn g LEFT JOIN pn ON g.tag = pn.tag LEFT JOIN tp ON g.tag = tp.tag
+"""
+
+
+def tag_metrics_avg_sql() -> str:
+    """Support-weighted average over the gold tagset."""
+    return f"""
+WITH {_pairs_cte()},
+gn AS (SELECT gold AS tag, count(*) AS gold_n FROM pr GROUP BY 1),
+pn AS (SELECT pred AS tag, count(*) AS pred_n FROM pr GROUP BY 1),
+tp AS (SELECT gold AS tag, count(*) AS tp FROM pr WHERE gold = pred GROUP BY 1),
+per AS (
+  SELECT g.tag, g.gold_n,
+         CASE WHEN COALESCE(pn.pred_n, 0) = 0 THEN 0.0
+              ELSE COALESCE(tp.tp, 0) / pn.pred_n END AS p,
+         COALESCE(tp.tp, 0) / g.gold_n AS r
+  FROM gn g LEFT JOIN pn ON g.tag = pn.tag LEFT JOIN tp ON g.tag = tp.tag
+)
+SELECT round(sum(p * gold_n) / sum(gold_n), 6) AS precision,
+       round(sum(r * gold_n) / sum(gold_n), 6) AS recall,
+       round(sum((2 * p * r / (p + r + 1e-10)) * gold_n) / sum(gold_n), 6) AS f1,
+       sum(gold_n)::BIGINT AS support
+FROM per
+"""
+
+
+def confusion_matrix_sql() -> str:
+    """Long-format confusion counts; preds outside the gold tagset skipped."""
+    return f"""
+WITH {_pairs_cte()}
+SELECT gold, pred, count(*)::BIGINT AS n
+FROM pr
+WHERE pred IN (SELECT DISTINCT gold FROM pr)
+GROUP BY gold, pred
+"""
+
+
+def entity_prf_sql() -> str:
+    """Entity-set-intersection P/R/F1: CRF-pipeline mentions (standard
+    lists) vs relational mentions (alt lists)."""
+    keys = "repo, path, sent_id, mbegin, mend, text, etype"
+    return f"""
+WITH {doc_mentions_cte()},
+pred_m AS (SELECT {keys} FROM mention_rows),
+gold_m AS (
+  WITH {doc_mentions_cte(op_words=DOC_OP_WORDS_ALT, obj_words=DOC_OBJ_WORDS_ALT)}
+  SELECT {keys} FROM mention_rows
+),
+inter AS (SELECT count(*) AS n_inter FROM pred_m SEMI JOIN gold_m USING ({keys})),
+cnt AS (SELECT (SELECT count(*) FROM pred_m) AS n_pred,
+               (SELECT count(*) FROM gold_m) AS n_gold,
+               (SELECT n_inter FROM inter) AS n_inter)
+SELECT n_pred::BIGINT AS n_pred, n_gold::BIGINT AS n_gold, n_inter::BIGINT AS n_inter,
+       round(CASE WHEN n_inter = 0 THEN 0.0 ELSE n_inter / n_pred END, 6) AS precision,
+       round(CASE WHEN n_inter = 0 THEN 0.0 ELSE n_inter / n_gold END, 6) AS recall,
+       round(CASE WHEN n_inter = 0 THEN 0.0
+                  ELSE 2 * (n_inter / n_pred) * (n_inter / n_gold)
+                       / ((n_inter / n_pred) + (n_inter / n_gold)) END, 6) AS f1
+FROM cnt
+"""
+
+
+def label_f1_sql() -> str:
+    """CLUE-style per-label TP/FP/FN macro metrics on distinct
+    (line, label, word) keys (cluener_score.py:10-35)."""
+    return f"""
+WITH {doc_mentions_cte()},
+pred_m AS (SELECT DISTINCT repo, path, etype, text FROM mention_rows),
+gold_m AS (
+  WITH {doc_mentions_cte(op_words=DOC_OP_WORDS_ALT, obj_words=DOC_OBJ_WORDS_ALT)}
+  SELECT DISTINCT repo, path, etype, text FROM mention_rows
+),
+tp AS (SELECT etype, count(*) AS tp FROM pred_m SEMI JOIN gold_m
+       USING (repo, path, etype, text) GROUP BY etype),
+fp AS (SELECT etype, count(*) AS fp FROM pred_m ANTI JOIN gold_m
+       USING (repo, path, etype, text) GROUP BY etype),
+fn AS (SELECT etype, count(*) AS fn FROM gold_m ANTI JOIN pred_m
+       USING (repo, path, etype, text) GROUP BY etype),
+labels AS (SELECT DISTINCT etype FROM (SELECT etype FROM pred_m UNION ALL SELECT etype FROM gold_m))
+SELECT l.etype AS label,
+       COALESCE(tp.tp, 0)::BIGINT AS tp,
+       COALESCE(fp.fp, 0)::BIGINT AS fp,
+       COALESCE(fn.fn, 0)::BIGINT AS fn,
+       round(COALESCE(tp.tp, 0) / (COALESCE(tp.tp, 0) + COALESCE(fp.fp, 0)), 6) AS precision,
+       round(COALESCE(tp.tp, 0) / (COALESCE(tp.tp, 0) + COALESCE(fn.fn, 0)), 6) AS recall,
+       round(2 * (COALESCE(tp.tp, 0) / (COALESCE(tp.tp, 0) + COALESCE(fp.fp, 0)))
+               * (COALESCE(tp.tp, 0) / (COALESCE(tp.tp, 0) + COALESCE(fn.fn, 0)))
+             / ((COALESCE(tp.tp, 0) / (COALESCE(tp.tp, 0) + COALESCE(fp.fp, 0)))
+                + (COALESCE(tp.tp, 0) / (COALESCE(tp.tp, 0) + COALESCE(fn.fn, 0)))), 6) AS f1
+FROM labels l LEFT JOIN tp ON l.etype = tp.etype
+LEFT JOIN fp ON l.etype = fp.etype LEFT JOIN fn ON l.etype = fn.etype
+"""
 
 
 def doc_triples_sql() -> str:

@@ -1,0 +1,117 @@
+"""Tagger stage tests: tokenizer offsets, lexer classes, decode-parity
+fixtures for the neural & cascade paths (SURVEY.md §5: CRF decode
+outputs are an explicit pytest target), and invalid-sequence mention
+extraction."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ner_funtool_spark.operators.tagger import (
+    code_token_classes,
+    extract_mentions,
+    tag_sequences,
+    tokenize_batch,
+)
+
+SENTS = [
+    "import alpha.core",
+    "def load_1(a, b):",
+    "class Reader7:",
+    'import "beta"',
+    "x = compute(x, y)",
+]
+
+# committed decode-parity fixtures: sha256 over '|'.join(tags) per
+# sentence, '\n'-joined, for the seeded model (config.SEED)
+NEURAL_HASH = "e39f7e214a44f2c673aaa9b10c2ea3f269b5f69c00e3d59e494ad5c3925ae666"
+CASCADE_HASH = "09c03ab8868f693ee92bf044acba97c5d25297f4ae64a2503de6de9518122da1"
+
+
+def test_tokenizer_offsets_reconstruct_tokens():
+    toks, tb, te, lens = tokenize_batch(pd.Series(SENTS))
+    for i, s in enumerate(SENTS):
+        for j in range(lens[i]):
+            assert s[tb[i, j]:te[i, j]] == toks[i, j]
+
+
+def test_tokenizer_truncates_at_max_len():
+    s = pd.Series([" ".join(f"t{i}" for i in range(100))])
+    toks, _, _, lens = tokenize_batch(s, max_len=64)
+    assert lens[0] == 64 and toks.shape[1] == 64
+
+
+def test_code_token_classes_rules():
+    toks, _, _, lens = tokenize_batch(pd.Series(SENTS))
+    cls = code_token_classes(toks, lens)
+    by_tok = {}
+    for i in range(len(SENTS)):
+        for j in range(lens[i]):
+            by_tok.setdefault((i, toks[i, j]), cls[i, j])
+    # import alpha.core -> alpha, '.', core all module (3)
+    assert by_tok[(0, "alpha")] == 3 and by_tok[(0, ".")] == 3 and by_tok[(0, "core")] == 3
+    assert by_tok[(0, "import")] == 0
+    assert by_tok[(1, "load_1")] == 1  # func after def
+    assert by_tok[(2, "Reader7")] == 2  # class
+    assert by_tok[(3, "beta")] == 3  # quoted import
+    assert by_tok[(4, "compute")] == 0  # plain call is not an entity
+
+
+def test_from_import_symbol_is_not_module():
+    toks, _, _, lens = tokenize_batch(pd.Series(["from alpha.core import load_1"]))
+    cls = code_token_classes(toks, lens)
+    names = {toks[0, j]: cls[0, j] for j in range(lens[0])}
+    assert names["alpha"] == 3 and names["core"] == 3
+    assert names["load_1"] == 0  # imported symbol, not a module mention
+
+
+def _tag_hash(rows) -> str:
+    blob = "\n".join("|".join(r.tags) for r in rows)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+@pytest.mark.parametrize("mode,expect", [("neural", NEURAL_HASH), ("cascade", CASCADE_HASH)])
+def test_decode_parity_fixture(spark, mode, expect):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SENTS)], "sid long, sentence string"
+    )
+    rows = tag_sequences(df, domain="code", mode=mode).orderBy("sid").collect()
+    assert _tag_hash(rows) == expect
+
+
+def test_decode_deterministic_across_partitionings(spark):
+    df1 = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SENTS)], "sid long, sentence string"
+    ).repartition(1)
+    df4 = df1.repartition(4)
+    a = tag_sequences(df1, domain="code", mode="neural").orderBy("sid").collect()
+    b = tag_sequences(df4, domain="code", mode="neural").orderBy("sid").collect()
+    assert [r.tags for r in a] == [r.tags for r in b]
+
+
+def test_extract_mentions_handles_invalid_sequences():
+    """Arbitrary (neural) tag ids: only type-consistent B(M*)E chains and
+    singleton S emit — matches spans.pipeline_rule."""
+    from ner_funtool_spark.functions.spans import pipeline_rule
+
+    rng = np.random.RandomState(5)
+    etypes = ["a", "b"]
+    names = ["O"] + [f"{x}-{t}" for t in etypes for x in "BMES"]
+    for _ in range(30):
+        n = int(rng.randint(1, 10))
+        tags = rng.randint(0, 9, size=(1, n)).astype(np.int32)
+        toks = np.array([[f"w{j}" for j in range(n)]], dtype=object)
+        tb = np.arange(0, 3 * n, 3, dtype=np.int32).reshape(1, n)
+        te = tb + 2
+        sent = " ".join(f"w{j}" for j in range(n))
+        got = extract_mentions(
+            tags, toks, tb, te, np.array([n]), pd.Series([sent]), etypes
+        )
+        want = pipeline_rule([f"w{j}" for j in range(n)], [names[t] for t in tags[0]])
+        got_set = {(r.begin, r.end, r.text, r.etype) for r in got.itertuples()}
+        want_set = {(3 * m.begin, 3 * m.end + 2, m.text, m.etype) for m in want}
+        assert got_set == want_set, (tags.tolist(), got_set, want_set)

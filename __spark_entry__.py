@@ -123,6 +123,23 @@ def _q_label_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.linking import candidate_pairs
+
+    ents = _crf_mentions_std(spark, sf_dir).select("text", "etype").distinct()
+    return candidate_pairs(ents)
+
+
+def _q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.components import canonicalize
+    from ner_funtool_spark.operators.linking import candidate_pairs
+
+    ents = _crf_mentions_std(spark, sf_dir).select("text", "etype").distinct()
+    edges = candidate_pairs(ents).select("src", "dst")
+    nodes = ents.select(F.col("text").alias("node")).distinct()
+    return canonicalize(nodes, edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -134,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_matrix": _q_confusion_matrix,
         "entity_prf": _q_entity_prf,
         "label_f1": _q_label_f1,
+        "link_candidates": _q_link_candidates,
+        "entity_canonicalize": _q_entity_canonicalize,
     }
 
 
@@ -148,4 +167,6 @@ def oracle_sql() -> dict[str, str]:
         "confusion_matrix": oracles.confusion_matrix_sql(),
         "entity_prf": oracles.entity_prf_sql(),
         "label_f1": oracles.label_f1_sql(),
+        "link_candidates": oracles.link_candidates_sql(),
+        "entity_canonicalize": oracles.canonicalize_sql(),
     }

@@ -1,0 +1,84 @@
+"""Iterative connected components — canonicalization of the link graph.
+
+Alternating large-star / small-star DataFrame joins (the classic
+MapReduce CC formulation, converges in O(log n) rounds) with a
+driver-side convergence check and ``localCheckpoint`` per iteration to
+truncate lineage (SURVEY.md §7 M4; north_star's union-find analog).
+
+Node ids are any orderable column (we use entity strings; the
+representative is the lexicographic min of the component, so DuckDB's
+``min`` over VARCHAR agrees and a recursive-CTE oracle can verify us).
+
+Scale notes: every iteration is two self-shuffles on the node key; AQE
+handles the (typical) power-law degree skew by splitting oversized
+partitions.  For 10^12-edge graphs the alternating algorithm's edge
+count is non-increasing, so the worst shuffle is the first one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    agg = nbrs.groupBy("src").agg(
+        F.collect_set("dst").alias("ns"),
+    )
+    mn = F.array_min(F.array_append(F.col("ns"), F.col("src")))
+    out = agg.select(
+        F.explode(F.filter(F.col("ns"), lambda v: v > F.col("src"))).alias("src"),
+        mn.alias("dst"),
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (max, min); connect all small neighbors + self to the min."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    agg = oriented.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+    mn = F.array_min(F.col("ns"))  # all ns <= src, so min(N ∪ {u}) = min(N)
+    out = agg.select(
+        F.explode(F.array_append(F.col("ns"), F.col("src"))).alias("v"),
+        mn.alias("m"),
+    ).select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) -> (node, canonical_id).
+
+    canonical_id = min node id in the component; isolated nodes (absent
+    from edges) are the caller's to union in (node, node).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the edge multiset is stable (star ops are
+        # deterministic, so set equality is a fixed-point check)
+        diff = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        e = e2
+        if diff == 0:
+            break
+    # fixed point: every edge is (node, root)
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("canonical_id"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("canonical_id")).distinct()
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("canonical_id").alias("canonical_id")
+    )
+
+
+def canonicalize(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
+                 max_iter: int = 25) -> DataFrame:
+    """All nodes -> (node, canonical_id), identity for isolated nodes."""
+    cc = connected_components(edges, max_iter)
+    n = nodes.select(F.col(node_col).alias("node")).distinct()
+    return (
+        n.join(cc, "node", "left")
+        .select("node", F.coalesce("canonical_id", "node").alias("canonical_id"))
+    )

@@ -1,0 +1,102 @@
+"""Entity linking: broadcast alias dictionary + blocked candidate-pair
+scoring + canonical ids via connected components.
+
+The reference's only "linking" is exact dictionary lookup (char2id /
+vocab broadcast dicts, data_preprocess.py:157-159); the north_star
+extends this to real linking: a broadcast alias join for known names,
+and minhash/ngram-blocked similarity joins for the tail.  All joins are
+equi-joins on blocking keys (the theta-join row of SURVEY.md §2.6),
+so Spark plans them as hash joins — never a cartesian product.
+
+Scale: the alias dict is a broadcast join (no shuffle); candidate
+generation shuffles once on the block key; per-pair scoring is a
+JVM-side expression (token-set jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import canonicalize
+
+JACCARD_THRESHOLD = 0.5
+
+
+def alias_link(mentions: DataFrame, alias_df: DataFrame,
+               text_col: str = "text") -> DataFrame:
+    """Broadcast alias-dictionary join: adds entity_id (NULL if unknown).
+
+    alias_df: (alias, entity_id) — small dimension, broadcast.
+    Lookup key is the case-folded mention text (the reference folds
+    case in BasicTokenizer, bert/tokenization.py:220-232).
+    """
+    a = alias_df.select(F.col("alias"), F.col("entity_id"))
+    return mentions.join(
+        F.broadcast(a), F.lower(F.col(text_col)) == F.col("alias"), "left"
+    ).drop("alias")
+
+
+def candidate_pairs(entities: DataFrame, id_col: str = "text",
+                    etype_col: str = "etype",
+                    threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Blocked candidate-pair generation + token-set jaccard scoring.
+
+    entities: distinct (text, etype) rows.  Block key = (etype, first
+    token); within a block all pairs with jaccard(token sets) >=
+    threshold become link edges (src < dst to dedupe).
+
+    Jaccard is computed with array_intersect/array_union on the
+    pre-split token arrays — pure codegen, no UDF.
+    """
+    # block key from the RAW first token (array_distinct does not
+    # preserve order in every engine; the raw list does)
+    e = (
+        entities.select(id_col, etype_col)
+        .distinct()
+        .withColumn("raw", F.split(F.col(id_col), " "))
+        .withColumn("toks", F.array_distinct(F.col("raw")))
+        .withColumn("block", F.concat_ws("#", F.col(etype_col), F.element_at("raw", 1)))
+        .drop("raw")
+    )
+    a = e.select(
+        F.col("block"),
+        F.col(id_col).alias("src"),
+        F.col("toks").alias("src_toks"),
+    )
+    b = e.select(
+        F.col("block"),
+        F.col(id_col).alias("dst"),
+        F.col("toks").alias("dst_toks"),
+    )
+    pairs = a.join(b, "block").filter(F.col("src") < F.col("dst"))
+    ni = F.size(F.array_intersect("src_toks", "dst_toks"))
+    nu = F.size("src_toks") + F.size("dst_toks") - ni
+    jac = ni / nu
+    # threshold on the unrounded score; round only the reported value
+    return pairs.filter(jac >= threshold).select(
+        "src", "dst", F.round(jac, 6).alias("score")
+    )
+
+
+def link_entities(mentions: DataFrame, *, text_col: str = "text",
+                  etype_col: str = "etype",
+                  threshold: float = JACCARD_THRESHOLD,
+                  max_iter: int = 25) -> DataFrame:
+    """mentions -> mentions + canonical_id.
+
+    Distinct (text, etype) nodes are linked through blocked-jaccard
+    edges and canonicalized by connected components; every mention gets
+    its node's canonical id (min text of the component).  The node
+    table is small relative to mentions (it is the distinct entity
+    vocabulary), so the final mapping join broadcasts.
+    """
+    nodes = mentions.select(F.col(text_col).alias("node"), F.col(etype_col)).distinct()
+    edges = candidate_pairs(nodes.select(F.col("node").alias(text_col), etype_col),
+                            id_col=text_col, etype_col=etype_col,
+                            threshold=threshold)
+    mapping = canonicalize(nodes, edges.select("src", "dst"), node_col="node",
+                           max_iter=max_iter)
+    return mentions.join(
+        F.broadcast(mapping.withColumnRenamed("node", text_col)), text_col, "left"
+    ).withColumn("canonical_id", F.coalesce("canonical_id", F.col(text_col)))

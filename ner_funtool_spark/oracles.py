@@ -194,6 +194,55 @@ FROM cnt
 """
 
 
+def _link_edges_cte(threshold: float = 0.5) -> str:
+    """Blocked candidate pairs over distinct (text, etype) mention
+    entities: block = (etype, first raw token); token-set jaccard."""
+    return f"""
+ents AS (SELECT DISTINCT text, etype FROM mention_rows),
+ent_feats AS (
+    SELECT text, etype,
+           list_distinct(string_split(text, ' ')) AS toks,
+           etype || '#' || string_split(text, ' ')[1] AS block
+    FROM ents
+),
+cand AS (
+    SELECT a.text AS src, b.text AS dst,
+           len(list_intersect(a.toks, b.toks)) AS ni,
+           len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS nu
+    FROM ent_feats a JOIN ent_feats b
+      ON a.block = b.block AND a.text < b.text
+),
+link_edges AS (
+    SELECT src, dst, ni / nu AS jac FROM cand WHERE ni / nu >= {threshold}
+)"""
+
+
+def link_candidates_sql() -> str:
+    return f"""
+WITH {doc_mentions_cte()},
+{_link_edges_cte()}
+SELECT src, dst, round(jac, 6) AS score FROM link_edges
+"""
+
+
+def canonicalize_sql() -> str:
+    """Connected components over the link graph via recursive min-label
+    propagation; canonical_id = lexicographic min text of the component
+    (identical to the large-star/small-star fixed point)."""
+    return f"""
+WITH RECURSIVE {doc_mentions_cte()},
+{_link_edges_cte()},
+nodes AS (SELECT DISTINCT text AS n FROM ents),
+reach(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT CASE WHEN r.node = e.src THEN e.dst ELSE e.src END, r.lbl
+    FROM reach r JOIN link_edges e ON r.node IN (e.src, e.dst)
+)
+SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node
+"""
+
+
 def label_f1_sql() -> str:
     """CLUE-style per-label TP/FP/FN macro metrics on distinct
     (line, label, word) keys (cluener_score.py:10-35)."""

@@ -140,6 +140,74 @@ def _q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize(nodes, edges)
 
 
+JACCARD_T = 0.08
+COSINE_T = 0.4
+SIMHASH_D = 10
+ANN_K = 5
+ANN_QUERY_MAX = 10
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), SIMHASH_D)
+
+
+def _q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.similarity import near_duplicates_cosine
+
+    return near_duplicates_cosine(_embeddings(spark, sf_dir), COSINE_T)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.similarity import topk_bruteforce
+
+    return topk_bruteforce(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.similarity import topk_lsh
+
+    return topk_lsh(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.functions import textstats as TS
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.token_count_ws(t).cast("int").alias("n_tokens_ws"),
+        TS.token_count_bpe(t).cast("int").alias("n_tokens_bpe"),
+        TS.lang_id(t).alias("lang_pred"),
+        TS.quality_score(t).alias("quality"),
+        TS.doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -153,6 +221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_f1": _q_label_f1,
         "link_candidates": _q_link_candidates,
         "entity_canonicalize": _q_entity_canonicalize,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "neardup_cosine": _q_neardup_cosine,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "text_stats": _q_text_stats,
     }
 
 
@@ -169,4 +245,26 @@ def oracle_sql() -> dict[str, str]:
         "label_f1": oracles.label_f1_sql(),
         "link_candidates": oracles.link_candidates_sql(),
         "entity_canonicalize": oracles.canonicalize_sql(),
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(JACCARD_T),
+        "dedup_minhash_lsh": oracles.minhash_lsh_sql(JACCARD_T),
+        "dedup_simhash": oracles.simhash_sql(SIMHASH_D),
+        "neardup_cosine": oracles.neardup_cosine_sql(COSINE_T, _planes()),
+        "ann_topk": oracles.ann_topk_sql(ANN_QUERY_MAX, ANN_K),
+        "ann_topk_lsh": oracles.ann_topk_lsh_sql(ANN_QUERY_MAX, ANN_K, _planes()),
+        "text_stats": oracles.text_stats_sql(
+            _ts().LANG_MARKERS, _ts().STOPWORDS, _ts().FP_MULT, _ts().FP_MOD
+        ),
     }
+
+
+def _planes():
+    from ner_funtool_spark.operators.similarity import hyperplanes
+
+    return hyperplanes()
+
+
+def _ts():
+    from ner_funtool_spark.functions import textstats
+
+    return textstats

@@ -1,0 +1,141 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths, same contract (query ids -> top-k neighbors by cosine):
+
+* brute-force — exact baseline.  The dot product is a JVM-side
+  ``aggregate(zip_with(a, b, *), +)`` expression (whole-stage codegen,
+  no Python), with the query side broadcast: one pass over the corpus
+  per batch of queries, which is also the correct 100 TB plan when the
+  query set is small.
+* random-hyperplane LSH — the scale path: sign-bit bucket from H
+  seeded hyperplanes (literal constants shared with the DuckDB oracle),
+  equi-join on the bucket, exact cosine re-rank inside the bucket.
+  Recall < 1 by design; the oracle mirrors the same bucketing so the
+  comparison is still exact.
+
+Also near_duplicates_cosine: all pairs above a cosine threshold,
+LSH-bucketed candidates + exact verify (the embedding near-dup detector
+of the dedup suite).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SEED
+
+LSH_PLANES = 8  # 2^8 buckets
+EMBED_DIM = 64  # driver embeddings table dimension
+
+
+def hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMBED_DIM,
+                seed: int = SEED) -> list[list[float]]:
+    """Deterministic hyperplanes, rounded so SQL literals are exact."""
+    rng = np.random.RandomState(seed + 7)
+    h = rng.randn(n_planes, dim)
+    return [[round(float(v), 6) for v in row] for row in h]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def topk_bruteforce(embeddings: DataFrame, query_ids: list[int], k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, score, rank) exact top-k by cosine.
+
+    Ties broken by neighbor id ascending so results are deterministic.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from literal hyperplanes — pure codegen."""
+    bucket = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in p])
+        bit = (_dot(vec_col, arr) > 0).cast("bigint")
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+def topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = LSH_PLANES, seed: int = SEED) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank within the query's LSH
+    bucket only (same-bucket recall; the oracle mirrors the bucketing)."""
+    planes = hyperplanes(n_planes, seed=seed)
+    e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def near_duplicates_cosine(embeddings: DataFrame, threshold: float,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           n_planes: int = LSH_PLANES, seed: int = SEED,
+                           exact: bool = False) -> DataFrame:
+    """(a, b, score) pairs with cosine >= threshold.
+
+    exact=False (default, the scale path): candidates share an LSH
+    bucket.  exact=True: full O(n²) verification — the small-SF oracle
+    baseline.
+    """
+    if exact:
+        a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        planes = hyperplanes(n_planes, seed=seed)
+        e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    sc = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("score", F.round(sc, 6))
+        .filter(sc >= threshold)
+        .select("a", "b", "score")
+    )

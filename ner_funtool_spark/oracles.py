@@ -19,8 +19,12 @@ from .config import (
     DOC_OBJ_WORDS_ALT,
     DOC_OP_WORDS,
     DOC_OP_WORDS_ALT,
+    SEED,
 )
+from .functions.hashing import MERSENNE_P, minhash_params
 from .operators.tagger import MAX_LEN
+
+H_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"  # cross-engine md5 hash
 
 
 def _inlist(words) -> str:
@@ -294,4 +298,230 @@ UNION ALL
 SELECT repo AS subj, 'CONTAINS' AS pred, repo || '/' || path AS obj,
        repo, content_sha
 FROM doc_sha
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis oracles
+# ---------------------------------------------------------------------------
+
+def dedup_exact_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, min(doc_id) AS keep_id, count(*) AS n FROM h GROUP BY h)
+SELECT g.keep_id, h.doc_id AS dup_id
+FROM h JOIN g USING (h) WHERE g.n > 1 AND h.doc_id <> g.keep_id
+"""
+
+
+def _shingles_cte(k: int = 3) -> str:
+    return f"""
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(len(l) - {k - 1}),
+                       i -> array_to_string(list_slice(l, i + 1, i + {k}), ' '))
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    WHERE len(l) >= {k}
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac_pairs AS (
+    SELECT i.a, i.b, i.ni * 1.0 / (sa.sz + sb.sz - i.ni) AS jac
+    FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+)"""
+
+
+def ngram_jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH {_shingles_cte()}
+SELECT a, b, round(jac, 6) AS score FROM jac_pairs WHERE jac >= {threshold}
+"""
+
+
+def minhash_lsh_sql(threshold: float, k: int = 16, bands: int = 4,
+                    seed: int = SEED) -> str:
+    a_arr, b_arr = minhash_params(k, seed)
+    values = ", ".join(
+        f"({i}, {int(a_arr[i])}, {int(b_arr[i])})" for i in range(k)
+    )
+    r = k // bands
+    h = H_SQL.format(x="shingle")
+    return f"""
+WITH {_shingles_cte()},
+params(i, pa, pb) AS (VALUES {values}),
+sig AS (
+    SELECT doc_id, i,
+           min((pa * ({h} % {MERSENNE_P}) + pb) % {MERSENNE_P}) AS sig
+    FROM sh CROSS JOIN params
+    GROUP BY doc_id, i
+),
+banded AS (
+    SELECT doc_id, i // {r} AS band,
+           string_agg(i || ':' || sig, '|' ORDER BY i) AS key
+    FROM sig GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, round(j.jac, 6) AS score
+FROM cand c JOIN jac_pairs j ON c.a = j.a AND c.b = j.b
+WHERE j.jac >= {threshold}
+"""
+
+
+def simhash_sql(max_distance: int, bits: int = 32) -> str:
+    h = H_SQL.format(x="tok")
+    half = bits // 2
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+),
+votes AS (
+    SELECT doc_id, j,
+           sum((({h} >> j) & 1) * 2 - 1) AS v
+    FROM toks CROSS JOIN (SELECT unnest(range({bits})) AS j)
+    GROUP BY doc_id, j
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+    FROM votes GROUP BY doc_id
+),
+parts AS (
+    SELECT doc_id, fp, 'lo:' || (fp % {1 << half}) AS bucket FROM fp
+    UNION ALL
+    SELECT doc_id, fp, 'hi:' || (fp >> {half}) AS bucket FROM fp
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, x.fp AS fa, y.doc_id AS b, y.fp AS fb
+    FROM parts x JOIN parts y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(fa, fb))::INT AS dist
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_distance}
+"""
+
+
+def _cosine_sql(va: str, vb: str, dim: int = 64) -> str:
+    dot = (f"list_sum(list_transform(range({dim}), "
+           f"i -> {va}[i + 1]::DOUBLE * {vb}[i + 1]::DOUBLE))")
+    na = f"sqrt(list_sum(list_transform(range({dim}), i -> {va}[i + 1]::DOUBLE * {va}[i + 1]::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform(range({dim}), i -> {vb}[i + 1]::DOUBLE * {vb}[i + 1]::DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def neardup_cosine_sql(threshold: float, planes: list[list[float]],
+                       dim: int = 64) -> str:
+    return f"""
+WITH {_lsh_bucket_cte(planes, dim)},
+cand AS (
+    SELECT x.vec_id AS a, x.embedding AS va, y.vec_id AS b, y.embedding AS vb
+    FROM bucketed x JOIN bucketed y
+      ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a, b, round({_cosine_sql('va', 'vb', dim)}, 6) AS score
+FROM cand WHERE {_cosine_sql('va', 'vb', dim)} >= {threshold}
+"""
+
+
+def _lsh_bucket_cte(planes: list[list[float]], dim: int = 64) -> str:
+    values = ", ".join(
+        "({}, [{}])".format(j, ", ".join(repr(v) for v in p))
+        for j, p in enumerate(planes)
+    )
+    dot = (f"list_sum(list_transform(range({dim}), "
+           f"i -> e.embedding[i + 1]::DOUBLE * p.vec[i + 1]))")
+    return f"""
+planes(j, vec) AS (VALUES {values}),
+bucketed AS (
+    SELECT e.vec_id, e.embedding,
+           sum(CASE WHEN {dot} > 0 THEN (1::BIGINT << p.j) ELSE 0 END) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id, e.embedding
+)"""
+
+
+def ann_topk_sql(query_max_id: int, k: int, dim: int = 64) -> str:
+    cos = _cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+WITH ranked AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({cos}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {query_max_id}
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_topk_lsh_sql(query_max_id: int, k: int, planes: list[list[float]],
+                     dim: int = 64) -> str:
+    cos = _cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+WITH {_lsh_bucket_cte(planes, dim)},
+ranked AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({cos}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+    FROM bucketed q JOIN bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {query_max_id}
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def text_stats_sql(markers: dict, stopwords, fp_mult: int, fp_mod: int) -> str:
+    marker_values = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in ws))
+        for lang, ws in sorted(markers.items())
+    )
+    stop_list = ", ".join(f"'{w}'" for w in stopwords)
+    h = H_SQL.format(x="t")
+    return f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n, text
+    FROM documents
+),
+markers(lang, words) AS (VALUES {marker_values}),
+scores AS (
+    SELECT b.doc_id, m.lang,
+           round(len(list_filter(b.toks, t -> list_contains(m.words, t))) * 1.0 / b.n, 6) AS s
+    FROM base b CROSS JOIN markers m
+),
+pred AS (
+    SELECT doc_id, lang AS lang_pred
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+          FROM scores)
+    WHERE rn = 1
+)
+SELECT b.doc_id,
+       b.n::INT AS n_tokens_ws,
+       len(regexp_extract_all(b.text, '[a-z0-9]+|[^a-z0-9 ]'))::INT AS n_tokens_bpe,
+       p.lang_pred,
+       round(0.4 * least(b.n / 64.0, 1.0)
+             + 0.3 * (len(list_distinct(b.toks)) * 1.0 / b.n)
+             + 0.3 * (1 - len(list_filter(b.toks, t -> t IN ({stop_list}))) * 1.0 / b.n), 6)
+           AS quality,
+       list_reduce(
+           list_prepend(0::BIGINT, list_transform(b.toks, t -> {h})),
+           (acc, x) -> (acc * {fp_mult} + x) % {fp_mod}
+       ) AS fingerprint
+FROM base b JOIN pred p USING (doc_id)
 """

@@ -1,0 +1,172 @@
+"""Dedup, similarity, text-stats and multimodal plumbing unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ner_funtool_spark.functions import textstats as TS
+from ner_funtool_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from ner_funtool_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_plan,
+    synth_media,
+)
+from ner_funtool_spark.operators.similarity import (
+    near_duplicates_cosine,
+    topk_bruteforce,
+    topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),          # exact dup of 0
+        (2, "a b c d e f g x"),          # near dup of 0
+        (3, "q r s t u v w z"),           # unrelated
+        (4, "a b"),                        # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    got = {(r["keep_id"], r["dup_id"]) for r in exact_duplicates(docs).collect()}
+    assert got == {(0, 1)}
+
+
+def test_shingles_distinct_and_short_doc_dropped(spark, docs):
+    sh = shingles(docs).groupBy("doc_id").count().collect()
+    by = {r["doc_id"]: r["count"] for r in sh}
+    assert 4 not in by  # len 2 < k
+    assert by[0] == 6  # 8 tokens -> 6 shingles
+
+
+def test_ngram_jaccard_pairs_values(spark, docs):
+    got = {(r["a"], r["b"]): r["score"] for r in ngram_jaccard_pairs(docs, 0.1).collect()}
+    assert got[(0, 1)] == 1.0
+    # doc2 differs in last token: shares 5 of 6 shingles; union 7
+    assert got[(0, 2)] == round(5 / 7, 6)
+    assert (0, 3) not in got
+
+
+def test_minhash_lsh_finds_identical_and_near(spark, docs):
+    got = {(r["a"], r["b"]): r["score"] for r in minhash_lsh_pairs(docs, 0.1).collect()}
+    assert got[(0, 1)] == 1.0  # identical docs always share all bands
+    # near-dups may or may not collide in a band, but anything returned
+    # must be a verified jaccard >= threshold pair
+    for (a, b), s in got.items():
+        assert s >= 0.1
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    fp = {r["doc_id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < (1 << 32)
+    pairs = {(r["a"], r["b"]): r["dist"] for r in simhash_pairs(docs, 0).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 64).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(64).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(8)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(), base
+
+
+def test_topk_bruteforce_matches_numpy(spark, vecs):
+    df, base = vecs
+    got = topk_bruteforce(df, [0], 3).collect()
+    want = sorted(
+        ((j, _np_cosine(base[0], base[j])) for j in range(1, 8)),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [(r["neighbor_id"]) for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert abs(r["score"] - w[1]) < 1e-5
+    assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_topk_lsh_near_dup_found(spark, vecs):
+    df, base = vecs
+    got = topk_lsh(df, [0], 3).collect()
+    # the 0.01-perturbed twin lands in the same bucket with certainty ~1
+    assert any(r["neighbor_id"] == 1 for r in got)
+
+
+def test_neardup_cosine_exact_vs_lsh(spark, vecs):
+    df, _ = vecs
+    exact = {(r["a"], r["b"]) for r in near_duplicates_cosine(df, 0.9, exact=True).collect()}
+    lsh = {(r["a"], r["b"]) for r in near_duplicates_cosine(df, 0.9).collect()}
+    assert (0, 1) in exact
+    assert lsh <= exact  # LSH candidates are a subset, all verified
+
+
+def test_text_stats_expressions(spark):
+    df = spark.createDataFrame([(1, "the fast table the x")], "doc_id long, text string")
+    row = df.select(
+        TS.token_count_ws(F.col("text")).alias("ws"),
+        TS.token_count_bpe(F.col("text")).alias("bpe"),
+        TS.lang_id(F.col("text")).alias("lang"),
+        TS.quality_score(F.col("text")).alias("q"),
+        TS.doc_fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row["ws"] == 5
+    assert row["bpe"] == 5
+    assert row["lang"] == "en"  # 'the'x2,'fast','table' markers dominate
+    # quality: n=5 -> 0.4*(5/64) + 0.3*(4/5 distinct) + 0.3*(1 - 2/5 stop)
+    assert abs(row["q"] - round(0.4 * 5 / 64 + 0.3 * 0.8 + 0.3 * 0.6, 6)) < 1e-6
+    assert 0 <= row["fp"] < (1 << 31)
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in df.select(TS.doc_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 12).cache()
+    assert media.count() == 12
+    feats = extract_features(media, stub=True)
+    rows = feats.collect()
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism across partitionings
+    again = extract_features(media.repartition(5), stub=True).collect()
+    a = {r["media_id"]: list(r["feature"]) for r in rows}
+    b = {r["media_id"]: list(r["feature"]) for r in again}
+    assert a == b
+    # unit norm
+    for v in a.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    fs = frame_sample(media, every_k=4)
+    assert fs.filter(F.col("frame_idx") % 4 != 0).count() == 0
+    rp = resize_plan(media, max_side=64).collect()
+    assert all(max(r["out_width"], r["out_height"]) <= 64 for r in rp)
+
+
+def test_real_decode_is_gated(spark):
+    from ner_funtool_spark.operators import multimodal as mm
+
+    if not mm.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image_real(b"xx")

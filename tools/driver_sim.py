@@ -25,6 +25,8 @@ TABLES = [
 def value_hash(pdf: pd.DataFrame) -> str:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    if pdf.empty:
+        return hashlib.sha256(b"<empty>").hexdigest()
     rows = pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
     h = hashlib.sha256()
     for r in rows:

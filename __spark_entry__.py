@@ -208,6 +208,57 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_pricing_summary(spark, sf_dir):
+    from ner_funtool_spark.operators.analytics import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    from ner_funtool_spark.operators.analytics import revenue_by_nation
+
+    return revenue_by_nation(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    from ner_funtool_spark.operators.analytics import customers_without_orders
+
+    return customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _q_top_parts_per_supplier(spark, sf_dir):
+    from ner_funtool_spark.operators.analytics import top_parts_per_supplier
+
+    return top_parts_per_supplier(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_order_priority(spark, sf_dir):
+    from ner_funtool_spark.operators.analytics import order_priority_distribution
+
+    return order_priority_distribution(_t(spark, sf_dir, "orders"))
+
+
+def _q_windowed_event_counts(spark, sf_dir):
+    from ner_funtool_spark.streaming.stream import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from ner_funtool_spark.streaming.stream import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -229,6 +280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "text_stats": _q_text_stats,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "customers_without_orders": _q_customers_without_orders,
+        "top_parts_per_supplier": _q_top_parts_per_supplier,
+        "order_priority": _q_order_priority,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -255,6 +313,13 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles.text_stats_sql(
             _ts().LANG_MARKERS, _ts().STOPWORDS, _ts().FP_MULT, _ts().FP_MOD
         ),
+        "pricing_summary": oracles.pricing_summary_sql(),
+        "revenue_by_nation": oracles.revenue_by_nation_sql(),
+        "customers_without_orders": oracles.customers_without_orders_sql(),
+        "top_parts_per_supplier": oracles.top_parts_per_supplier_sql(),
+        "order_priority": oracles.order_priority_sql(),
+        "windowed_event_counts": oracles.windowed_event_counts_sql(),
+        "sessionize": oracles.sessionize_sql(),
     }
 
 

@@ -1,0 +1,78 @@
+"""Benchmark harness — ONE JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and the flagship
+code-KG end-to-end job (synthetic source table -> segment -> Arrow CRF
+tagging -> mentions -> triples) sized to the scale factor, reporting
+triples/sec (the BASELINE.json metric).
+
+    {"metric": "triples_per_sec", "value": ..., "unit": "triples/sec",
+     "queries": {name: sec, ...}, "sf": ..., ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # code-KG corpus size scales with sf: sf0.1 -> 20k files (~360k lines)
+    n_files = int(os.environ.get("SPARK_GRAFT_N_FILES", str(int(200_000 * sf))))
+
+    import __spark_entry__ as mod
+    from ner_funtool_spark.plans.kg import build_triples
+    from ner_funtool_spark.session import get_spark
+    from ner_funtool_spark.sources.code_table import source_table
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # flagship: code-KG end-to-end triples/sec
+    src = source_table(spark, n_files, partitions=cpus * 2)
+    n_triples = timed(
+        "kg_code_e2e", lambda: build_triples(src, mode="rules").count()
+    )
+    tps = n_triples / timings["kg_code_e2e"]
+
+    # headline driver queries at this sf
+    qs = mod.queries()
+    for name in (
+        "kg_triples", "kg_mentions", "mentions_relational", "tag_metrics",
+        "entity_canonicalize", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_topk", "text_stats", "pricing_summary", "revenue_by_nation",
+        "top_parts_per_supplier", "windowed_event_counts", "sessionize",
+    ):
+        df = qs[name](spark, sf_dir)
+        timed(name, lambda d=df: d.count())
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "triples_per_sec",
+        "value": round(tps, 1),
+        "unit": "triples/sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_files": n_files,
+        "n_triples": n_triples,
+        "kg_e2e_sec": timings["kg_code_e2e"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -525,3 +525,102 @@ SELECT b.doc_id,
        ) AS fingerprint
 FROM base b JOIN pred p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# relational analytics + streaming-shape oracles
+# ---------------------------------------------------------------------------
+
+def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer ANTI JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def top_parts_per_supplier_sql(k: int = 3) -> str:
+    return f"""
+WITH rev AS (
+    SELECT l_suppkey, l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey ASC) AS rank
+    FROM rev
+)
+SELECT l_suppkey, l_partkey, revenue, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def order_priority_sql() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def windowed_event_counts_sql(window_hours: int = 1) -> str:
+    return f"""
+SELECT time_bucket(INTERVAL '{window_hours} hour', ts) AS w_start,
+       time_bucket(INTERVAL '{window_hours} hour', ts)
+           + INTERVAL '{window_hours} hour' AS w_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH g AS (
+    SELECT user_id, ts,
+           -- floor(epoch) mirrors Spark's timestamp->long second truncation
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+                     > {gap_minutes * 60}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM g
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_id
+"""

@@ -1,0 +1,77 @@
+"""Structured Streaming: stream/batch plan equivalence and the
+foreachBatch-hosted mention pipeline (SURVEY.md §1.3 design note)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_funtool_spark.streaming.stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_batch,
+    stream_mentions,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory):
+    """File stream sources need a directory; symlink the parquet files."""
+    import os
+
+    root = tmp_path_factory.mktemp("streamsrc")
+    for t in ("events", "documents"):
+        d = root / t
+        d.mkdir()
+        os.symlink(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    return str(root)
+
+
+def test_stream_equals_batch_windowed_counts(spark, stream_dirs):
+    """The same windowed-agg plan over a finite file stream (complete
+    mode) must produce exactly the batch result."""
+    batch = windowed_event_counts(spark.read.parquet(f"{SF}/events.parquet"))
+    stream = windowed_event_counts(read_events_stream(spark, f"{stream_dirs}/events"))
+    q = run_stream_to_memory(stream, "wec")
+    try:
+        got = sorted(map(tuple, spark.sql("SELECT * FROM wec").collect()))
+        want = sorted(map(tuple, batch.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_stream_mentions_foreachbatch(spark, stream_dirs):
+    """Micro-batches through the pure mention pipeline: totals must
+    equal the one-shot batch run (serving = batch over micro-partition)."""
+    from ner_funtool_spark.plans.kg import detect_mentions, documents_as_source
+
+    sink: list = []
+    q = stream_mentions(spark, f"{stream_dirs}/documents", sink)
+    q.stop()
+    total = sum(n for _, n in sink)
+    want = detect_mentions(
+        documents_as_source(spark.read.parquet(f"{SF}/documents.parquet")),
+        domain="doc", mode="rules",
+    ).count()
+    assert total == want and want > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (10 min gap)
+        (1, "2024-01-01 01:00:00"),   # new session (50 min gap)
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}

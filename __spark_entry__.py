@@ -259,6 +259,45 @@ def _q_sessionize(spark, sf_dir):
     return sessionize_batch(_t(spark, sf_dir, "events"))
 
 
+def _q_vocab_build(spark, sf_dir):
+    from ner_funtool_spark.sources.corpus import vocab_build
+
+    toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("chars"))
+    return vocab_build(toks, min_count=2)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from ner_funtool_spark.operators.components import canonicalize
+    from ner_funtool_spark.operators.dedup import ngram_jaccard_pairs
+
+    edges = (
+        ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return canonicalize(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("canonical_id").alias("keep_id")
+    )
+
+
+def _q_kg_mentions_neural(spark, sf_dir):
+    """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
+    driver check); decode parity is pinned by fixtures in pytest."""
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="neural")
+    return m.select("repo", "path", "begin", "end", "text", "etype", "model")
+
+
+def _q_kg_mentions_cascade(spark, sf_dir):
+    """Cascade (boundary-Viterbi + type-argmax + trans_label) path —
+    rows-only driver check; fixtures in pytest."""
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="cascade")
+    return m.select("repo", "path", "begin", "end", "text", "etype", "model")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -287,6 +326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": _q_order_priority,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
+        "vocab_build": _q_vocab_build,
+        "dedup_clusters": _q_dedup_clusters,
+        "kg_mentions_neural": _q_kg_mentions_neural,
+        "kg_mentions_cascade": _q_kg_mentions_cascade,
     }
 
 
@@ -320,6 +363,12 @@ def oracle_sql() -> dict[str, str]:
         "order_priority": oracles.order_priority_sql(),
         "windowed_event_counts": oracles.windowed_event_counts_sql(),
         "sessionize": oracles.sessionize_sql(),
+        "vocab_build": oracles.vocab_build_sql(min_count=2),
+        "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
+        # kg_mentions_neural / kg_mentions_cascade: intentionally no
+        # oracle — seeded-model decode is not SQL-expressible; the
+        # driver records the weaker rows-only check and pytest pins the
+        # decode fixtures (tests/test_tagger.py).
     }
 
 

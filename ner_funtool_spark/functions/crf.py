@@ -53,34 +53,37 @@ def viterbi_decode_batch(
     """
     B, S, V = logits.shape
     lengths = np.asarray(lengths, dtype=np.int64)
-    dp = logits[:, 0, :].astype(np.float64).copy()  # [B, V]
+    # float32 + per-target-tag inner loop: the DP state is [B, V] slices
+    # (cache-resident) instead of a materialized [B, V, V] score cube —
+    # ~4x less memory traffic, which is what scales across 32 workers
+    # sharing one memory bus (see BENCH/BASELINE.md analysis)
+    logits32 = logits if logits.dtype == np.float32 else logits.astype(np.float32)
+    tr = transitions if transitions.dtype == np.float32 else transitions.astype(np.float32)
+    dp = logits32[:, 0, :].copy()  # [B, V]
     if start is not None:
-        dp += start[None, :]
-    backp = np.zeros((B, S, V), dtype=np.int32)
-    for t in range(1, S):
-        if t >= lengths.max():
-            break
-        # scores[b, i, j] = dp[b, i] + trans[i, j]
-        scores = dp[:, :, None] + transitions[None, :, :]
-        best_prev = np.argmax(scores, axis=1)  # [B, V]
-        best_score = np.take_along_axis(scores, best_prev[:, None, :], axis=1)[:, 0, :]
-        new_dp = best_score + logits[:, t, :]
+        dp += start.astype(np.float32)[None, :]
+    backp = np.zeros((B, S, V), dtype=np.int16)
+    new_dp = np.empty_like(dp)
+    bp_t = np.empty((B, V), dtype=np.int16)
+    rows = np.arange(B)
+    for t in range(1, int(lengths.max())):
+        for j in range(V):
+            s = dp + tr[:, j][None, :]  # score of (prev=i -> cur=j)  [B, V]
+            bp = np.argmax(s, axis=1)
+            bp_t[:, j] = bp
+            new_dp[:, j] = s[rows, bp] + logits32[:, t, j]
         # sequences already finished keep their dp frozen at their last step
         active = (t < lengths)[:, None]
         dp = np.where(active, new_dp, dp)
-        backp[:, t, :] = np.where(active, best_prev, 0)
+        backp[:, t, :] = np.where(active, bp_t, 0)
     if end is not None:
-        dp = dp + end[None, :]
+        dp = dp + end.astype(np.float32)[None, :]
     # backtrack from each sequence's true last step
     path = np.zeros((B, S), dtype=np.int32)
-    last = np.argmax(dp, axis=1).astype(np.int32)  # [B]
-    rows = np.arange(B)
-    path[rows, lengths - 1] = last
+    path[rows, lengths - 1] = np.argmax(dp, axis=1).astype(np.int32)
     for t in range(S - 1, 0, -1):
-        cur = path[:, t]
-        prev = backp[rows, t, cur]
-        take = t <= lengths - 1
-        path[:, t - 1] = np.where(take, prev, path[:, t - 1])
+        prev = backp[rows, t, path[:, t]]
+        path[:, t - 1] = np.where(t <= lengths - 1, prev, path[:, t - 1])
     # zero out padding
     mask = np.arange(S)[None, :] < lengths[:, None]
     return np.where(mask, path, 0).astype(np.int32)

@@ -624,3 +624,42 @@ SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
        min(ts) AS t_start, max(ts) AS t_end
 FROM s GROUP BY user_id, session_id
 """
+
+
+def vocab_build_sql(min_count: int = 2) -> str:
+    """Token-frequency vocab with digit/latin folding + rank
+    (data_preprocess.py:77-113 re-expressed over documents tokens)."""
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+folded AS (
+    SELECT CASE WHEN regexp_matches(tok, '^[0-9]$') THEN '<NUM>'
+                WHEN regexp_matches(tok, '^[A-Za-z]$') THEN '<ENG>'
+                ELSE tok END AS ch
+    FROM toks
+),
+counts AS (SELECT ch, count(*) AS freq FROM folded GROUP BY ch),
+kept AS (SELECT * FROM counts
+         WHERE freq >= {min_count} OR ch IN ('<NUM>', '<ENG>'))
+SELECT ch, freq,
+       row_number() OVER (ORDER BY freq DESC, ch ASC) AS id
+FROM kept
+"""
+
+
+def dedup_clusters_sql(threshold: float) -> str:
+    """Near-dup clusters: jaccard edges -> connected components ->
+    (doc_id, keep_id = min doc_id of the cluster), clustered docs only."""
+    return f"""
+WITH RECURSIVE {_shingles_cte()},
+edges AS (SELECT a, b FROM jac_pairs WHERE jac >= {threshold}),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+reach(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.lbl
+    FROM reach r JOIN edges e ON r.node IN (e.a, e.b)
+)
+SELECT node AS doc_id, min(lbl) AS keep_id FROM reach GROUP BY node
+"""

@@ -152,8 +152,25 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
         .select("a", "b")
         .distinct()
     )
-    verified = ngram_jaccard_pairs(documents, threshold, text_col, id_col)
-    return cand.join(verified, ["a", "b"], "inner").select("a", "b", "score")
+    # candidate-proportional verification: intersect shingles only for
+    # LSH candidates (never the full pair enumeration — that is the
+    # whole point of LSH at corpus scale)
+    sh = shingles(documents, text_col, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ni = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
+    out = (
+        ni.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn("jac", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
+        .filter(F.col("jac") >= threshold)
+        .select("a", "b", F.round("jac", 6).alias("score"))
+    )
+    return out
 
 
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text",

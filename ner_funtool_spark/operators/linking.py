@@ -39,7 +39,8 @@ def alias_link(mentions: DataFrame, alias_df: DataFrame,
 
 def candidate_pairs(entities: DataFrame, id_col: str = "text",
                     etype_col: str = "etype",
-                    threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+                    threshold: float = JACCARD_THRESHOLD,
+                    token_pattern: str = " ") -> DataFrame:
     """Blocked candidate-pair generation + token-set jaccard scoring.
 
     entities: distinct (text, etype) rows.  Block key = (etype, first
@@ -54,7 +55,7 @@ def candidate_pairs(entities: DataFrame, id_col: str = "text",
     e = (
         entities.select(id_col, etype_col)
         .distinct()
-        .withColumn("raw", F.split(F.col(id_col), " "))
+        .withColumn("raw", F.split(F.col(id_col), token_pattern))
         .withColumn("toks", F.array_distinct(F.col("raw")))
         .withColumn("block", F.concat_ws("#", F.col(etype_col), F.element_at("raw", 1)))
         .drop("raw")
@@ -82,6 +83,7 @@ def candidate_pairs(entities: DataFrame, id_col: str = "text",
 def link_entities(mentions: DataFrame, *, text_col: str = "text",
                   etype_col: str = "etype",
                   threshold: float = JACCARD_THRESHOLD,
+                  token_pattern: str = " ",
                   max_iter: int = 25) -> DataFrame:
     """mentions -> mentions + canonical_id.
 
@@ -94,7 +96,7 @@ def link_entities(mentions: DataFrame, *, text_col: str = "text",
     nodes = mentions.select(F.col(text_col).alias("node"), F.col(etype_col)).distinct()
     edges = candidate_pairs(nodes.select(F.col("node").alias(text_col), etype_col),
                             id_col=text_col, etype_col=etype_col,
-                            threshold=threshold)
+                            threshold=threshold, token_pattern=token_pattern)
     mapping = canonicalize(nodes, edges.select("src", "dst"), node_col="node",
                            max_iter=max_iter)
     return mentions.join(

@@ -298,6 +298,14 @@ def _q_kg_mentions_cascade(spark, sf_dir):
     return m.select("repo", "path", "begin", "end", "text", "etype", "model")
 
 
+def _q_sales_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -330,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
+        "sales_cube": _q_sales_cube,
     }
 
 
@@ -364,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_counts": oracles.windowed_event_counts_sql(),
         "sessionize": oracles.sessionize_sql(),
         "vocab_build": oracles.vocab_build_sql(min_count=2),
+        "sales_cube": oracles.sales_cube_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

@@ -184,17 +184,21 @@ def simhash_fingerprints(documents: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).withColumn("h", md5_int_col(F.col("tok")))
-    bit = documents.sparkSession.range(bits).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        toks.crossJoin(F.broadcast(bit))
-        .groupBy(id_col, "j")
-        .agg(F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("v"))
+    # one aggregation with `bits` vote columns instead of a bits-table
+    # cross join: shuffles 1 row per token, not `bits` rows per token
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"v{j}")
+            for j in range(bits)
+        ]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("bigint"))
-        ).alias("fp")
-    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("fp"))
 
 
 def simhash_pairs(documents: DataFrame, max_distance: int,

@@ -663,3 +663,15 @@ reach(node, lbl) AS (
 )
 SELECT node AS doc_id, min(lbl) AS keep_id FROM reach GROUP BY node
 """
+
+
+def sales_cube_sql() -> str:
+    """CUBE grouping-sets aggregation (SURVEY §2.6: 'built-in if ever
+    needed' — provided with an oracle for completeness)."""
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-    "value double, props map<string,string>"
+    "value double, props string"
 )
 
 
@@ -86,6 +86,35 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("t_start"),
         F.max("ts").alias("t_end"),
+    )
+
+
+def running_type_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-event_type count/total across micro-batches — the arbitrary-
+    state shape (the reference has no streaming state; this is the
+    scale-path primitive for e.g. running entity counters per repo)."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (etype,) = key
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [etype], "n": [n], "total": [round(total, 4)]}
+        )
+
+    # prune before the python stage: state ops don't push projection
+    events = events.select("event_type", "value")
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType="event_type string, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
 
 

@@ -97,6 +97,22 @@ def test_salted_partitioning_is_deterministic_and_bounded(spark, src):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_salting_splits_hot_repos(spark, src):
+    """The corpus is power-law skewed by construction; salting must
+    spread the hottest repo's triples over multiple (part, salt)
+    buckets so no single write task owns a hot key."""
+    t = with_salted_part(build_triples(src, mode="rules"), n_parts=8, n_salt=4)
+    hot = (
+        t.groupBy("repo").count().orderBy(F.desc("count")).first()["repo"]
+    )
+    hot_rows = t.filter(F.col("repo") == hot)
+    n_buckets = hot_rows.select("part", "salt").distinct().count()
+    assert n_buckets >= 3  # hot key spread across salt buckets
+    # and the largest bucket holds well under the whole hot key
+    biggest = hot_rows.groupBy("part", "salt").count().agg(F.max("count")).first()[0]
+    assert biggest < hot_rows.count()
+
+
 def test_generator_determinism(spark):
     a = source_table(spark, 25, partitions=2).orderBy("path").collect()
     b = source_table(spark, 25, partitions=5).orderBy("path").collect()

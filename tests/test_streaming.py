@@ -60,6 +60,33 @@ def test_stream_mentions_foreachbatch(spark, stream_dirs):
     assert total == want and want > 0
 
 
+def test_stateful_running_counts(spark, stream_dirs):
+    """applyInPandasWithState running counters: final state must equal
+    the batch groupBy over the same data."""
+    from ner_funtool_spark.streaming.stream import running_type_counts
+
+    stream = read_events_stream(spark, f"{stream_dirs}/events")
+    q = run_stream_to_memory(running_type_counts(stream), "rtc", output_mode="update")
+    try:
+        got = {
+            r["event_type"]: (r["n"], r["total"])
+            for r in spark.sql(
+                "SELECT * FROM (SELECT *, row_number() OVER ("
+                "PARTITION BY event_type ORDER BY n DESC) rn FROM rtc) WHERE rn = 1"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 00:00:00"),

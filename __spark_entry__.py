@@ -298,6 +298,23 @@ def _q_kg_mentions_cascade(spark, sf_dir):
     return m.select("repo", "path", "begin", "end", "text", "etype", "model")
 
 
+def _q_asof_join(spark, sf_dir):
+    from ner_funtool_spark.functions.hashing import md5_int_col
+    from ner_funtool_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    rates = (
+        ev.select(hour.alias("h")).distinct()
+        .select(
+            (F.col("h") + F.expr("INTERVAL 30 MINUTES")).alias("rt"),
+            (md5_int_col(F.date_format("h", "yyyy-MM-dd HH")) % 100).alias("rate"),
+        )
+    )
+    out = asof_join(ev.select("event_id", "ts"), rates, lookback=6)
+    return out.select("event_id", "ts", "rt", "rate")
+
+
 def _q_sales_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -339,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
         "sales_cube": _q_sales_cube,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -374,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracles.sessionize_sql(),
         "vocab_build": oracles.vocab_build_sql(min_count=2),
         "sales_cube": oracles.sales_cube_sql(),
+        "asof_join": oracles.asof_join_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

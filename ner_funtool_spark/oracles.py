@@ -675,3 +675,23 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def asof_join_sql() -> str:
+    """Native ASOF LEFT JOIN oracle for the bucketized as-of operator.
+
+    Rates: one row per event-hour at hh:30 (so the join is genuinely
+    temporal — events before half past match the previous hour), rate =
+    cross-engine hash of the hour string.  Max event->rate gap is < 2h,
+    inside the Spark operator's lookback horizon, so both formulations
+    are exact."""
+    h = H_SQL.format(x="strftime(date_trunc('hour', ts), '%Y-%m-%d %H')")
+    return f"""
+WITH rates AS (
+    SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 30 MINUTE AS rt,
+           {h} % 100 AS rate
+    FROM events
+)
+SELECT e.event_id, e.ts, r.rt, r.rate
+FROM events e ASOF LEFT JOIN rates r ON e.ts >= r.rt
+"""

@@ -203,6 +203,42 @@ def read_seq_files(spark: SparkSession, char_path: str, tag_path: str) -> DataFr
     return a.join(b, "sent_id")
 
 
+def wordtag_to_char_bio(df: DataFrame, text_col: str = "line",
+                        sep: str = "/") -> DataFrame:
+    """MSRA-style converter (S13, data/msra_ner/train2pkl.py:8-39):
+    ``word/tag`` tokens -> per-char tags.  Exactly the reference's rule:
+    single-char word -> ``B_tag`` alone; 2+ chars -> ``B_ (M_)* E_``;
+    tag ``o`` -> lowercase ``o`` per char (the reference writes '/o').
+    Pure column expressions (flatten of a nested transform).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    word = lambda t: F.element_at(F.split(t, sep), 1)  # noqa: E731
+    tag = lambda t: F.element_at(F.split(t, sep), 2)  # noqa: E731
+
+    def char_tags(t):
+        w, g = word(t), tag(t)
+        n = F.length(w)
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(g == "o", "o")
+            .when(i == 1, F.concat(F.lit("B_"), g))
+            .when(i == n, F.concat(F.lit("E_"), g))
+            .otherwise(F.concat(F.lit("M_"), g)),
+        )
+
+    chars = F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(word(t))),
+                lambda i: word(t).substr(i, F.lit(1)),
+            ),
+        )
+    )
+    tags = F.flatten(F.transform(toks, char_tags))
+    return df.withColumn("chars", chars).withColumn("tags", tags)
+
+
 def vocab_build(corpus: DataFrame, chars_col: str = "chars",
                 min_count: int = 1) -> DataFrame:
     """Char-frequency vocab with the reference's folding rules

@@ -19,6 +19,7 @@ from ner_funtool_spark.sources.corpus import (
     tag_dictionary,
     tags_to_clue_label,
     vocab_build,
+    wordtag_to_char_bio,
 )
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
@@ -121,6 +122,19 @@ def test_tag_dictionary_o_first(spark, tsv):
     rows = {r["tag"]: r["id"] for r in d.collect()}
     assert rows["O"] == 0
     assert len(rows) == len(set(rows.values()))
+
+
+def test_wordtag_to_char_bio_reference_rule(spark):
+    """MSRA converter (train2pkl.py:8-39): 1-char -> B_ alone, 2-char ->
+    B_ E_, longer -> B_ M_* E_, 'o' words -> per-char lowercase 'o'."""
+    df = spark.createDataFrame(
+        [("ab/ns c/nt defg/nr xy/o",)], "line string"
+    )
+    r = wordtag_to_char_bio(df).first()
+    assert r["chars"] == list("abcdefgxy")
+    assert r["tags"] == [
+        "B_ns", "E_ns", "B_nt", "B_nr", "M_nr", "M_nr", "E_nr", "o", "o",
+    ]
 
 
 def test_dict_broadcast(spark, tsv):

@@ -1,0 +1,82 @@
+"""BasicTokenizer / WordPiece / encoding semantics (P4-P7) — behavior
+pinned against the reference's documented contract
+(bert/tokenization.py, run_bert_crf.py:340-433)."""
+
+from __future__ import annotations
+
+from ner_funtool_spark.functions.wordpiece import (
+    CLS,
+    SEP,
+    UNK,
+    basic_tokenize,
+    encode_words,
+    full_tokenize,
+    wordpiece,
+)
+
+
+def test_basic_lowercase_accent_punct():
+    assert basic_tokenize("Héllo, World!") == ["hello", ",", "world", "!"]
+
+
+def test_basic_cjk_chars_isolated():
+    assert basic_tokenize("ab中国cd") == ["ab", "中", "国", "cd"]
+
+
+def test_basic_control_and_weird_whitespace():
+    assert basic_tokenize("a\x00b c\td") == ["ab", "c", "d"]
+
+
+def test_basic_consecutive_punct_each_token():
+    assert basic_tokenize("a--b") == ["a", "-", "-", "b"]
+
+
+def test_basic_no_lower():
+    assert basic_tokenize("Ab C", lower=False) == ["Ab", "C"]
+
+
+VOCAB = {"un", "##aff", "##able", "aff", "runn", "##ing", "run", "a", "##b",
+         "[UNK]", "[CLS]", "[SEP]"}
+
+
+def test_wordpiece_reference_example():
+    # the reference's own docstring example (tokenization.py:315-317)
+    assert wordpiece("unaffable", VOCAB) == ["un", "##aff", "##able"]
+
+
+def test_wordpiece_greedy_longest_first():
+    assert wordpiece("running", VOCAB) == ["runn", "##ing"]
+
+
+def test_wordpiece_unk_on_uncovered_and_oversize():
+    assert wordpiece("xyz", VOCAB) == [UNK]
+    assert wordpiece("ab" * 150, VOCAB) == [UNK]  # > 200 chars
+
+
+def test_full_tokenize_composes():
+    assert full_tokenize("Unaffable running!", VOCAB | {"!"}) == [
+        "un", "##aff", "##able", "runn", "##ing", "!",
+    ]
+
+
+def test_encode_words_label_alignment():
+    vocab = {w: i + 5 for i, w in enumerate(sorted(VOCAB))}
+    label_map = {"O": 0, "B-x": 1, "X": 2, CLS: 3, SEP: 4}
+    enc = encode_words(["unaffable", "run"], ["B-x", "O"], vocab,
+                       max_len=10, label_map=label_map)
+    # tokens are unpadded; ids/mask are padded to max_len
+    assert enc["tokens"] == [CLS, "un", "##aff", "##able", "run", SEP]
+    # first piece keeps the word label, continuations get X
+    assert enc["labels"][:6] == [CLS, "B-x", "X", "X", "O", SEP]
+    assert enc["input_mask"] == [1] * 6 + [0] * 4
+    assert len(enc["input_ids"]) == 10
+
+
+def test_encode_words_truncates_to_max():
+    vocab = {"a": 1, "##b": 2, "[UNK]": 0}
+    label_map = {"O": 0, "X": 1, CLS: 2, SEP: 3}
+    enc = encode_words(["ab"] * 10, ["O"] * 10, vocab, max_len=6,
+                       label_map=label_map)
+    assert len(enc["input_ids"]) == 6
+    assert enc["tokens"][0] == CLS and SEP in enc["tokens"]
+    assert sum(enc["input_mask"]) == 6

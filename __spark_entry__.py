@@ -130,6 +130,13 @@ def _q_link_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(ents)
 
 
+def _q_embedding_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.linking import embedding_link_scores
+
+    ents = _crf_mentions_std(spark, sf_dir).select("text", "etype").distinct()
+    return embedding_link_scores(ents, threshold=0.5)
+
+
 def _q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_funtool_spark.operators.components import canonicalize
     from ner_funtool_spark.operators.linking import candidate_pairs
@@ -335,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_prf": _q_entity_prf,
         "label_f1": _q_label_f1,
         "link_candidates": _q_link_candidates,
+        "embedding_link": _q_embedding_link,
         "entity_canonicalize": _q_entity_canonicalize,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -372,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_prf": oracles.entity_prf_sql(),
         "label_f1": oracles.label_f1_sql(),
         "link_candidates": oracles.link_candidates_sql(),
+        "embedding_link": oracles.embedding_link_sql(),
         "entity_canonicalize": oracles.canonicalize_sql(),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(JACCARD_T),

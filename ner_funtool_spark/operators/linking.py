@@ -102,3 +102,57 @@ def link_entities(mentions: DataFrame, *, text_col: str = "text",
     return mentions.join(
         F.broadcast(mapping.withColumnRenamed("node", text_col)), text_col, "left"
     ).withColumn("canonical_id", F.coalesce("canonical_id", F.col(text_col)))
+
+
+def pooled_embedding(text_col, dim: int = 16):
+    """Deterministic pooled token embedding as a pure JVM expression:
+    per token, a ±1 vector from the bits of the cross-engine md5 hash
+    (functions/hashing.py); per entity, the token mean.  The
+    SQL-expressible stand-in for mean-pooled model embeddings — the
+    operator shape (pool -> cosine over blocked pairs) is identical.
+    """
+    from ..functions.hashing import md5_int_col
+
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+
+    def comp(j):
+        return (
+            F.aggregate(
+                toks,
+                F.lit(0).cast("double"),
+                lambda acc, t: acc
+                + (F.shiftright(md5_int_col(t), j).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+            / n
+        )
+
+    return F.array(*[comp(j) for j in range(dim)])
+
+
+def embedding_link_scores(entities: DataFrame, id_col: str = "text",
+                          etype_col: str = "etype",
+                          threshold: float = 0.5, dim: int = 16) -> DataFrame:
+    """Blocked candidate pairs scored by cosine over pooled embeddings
+    (the north_star's second linking scorer, next to token jaccard).
+
+    Same blocking as candidate_pairs (etype + first token); emits
+    (src, dst, cos) for pairs with cosine >= threshold."""
+    from .similarity import cosine
+
+    e = (
+        entities.select(id_col, etype_col)
+        .distinct()
+        .withColumn("vec", pooled_embedding(F.col(id_col), dim))
+        .withColumn(
+            "block",
+            F.concat_ws("#", F.col(etype_col), F.element_at(F.split(F.col(id_col), " "), 1)),
+        )
+    )
+    a = e.select("block", F.col(id_col).alias("src"), F.col("vec").alias("va"))
+    b = e.select("block", F.col(id_col).alias("dst"), F.col("vec").alias("vb"))
+    pairs = a.join(b, "block").filter(F.col("src") < F.col("dst"))
+    c = cosine(F.col("va"), F.col("vb"))
+    return pairs.filter(c >= threshold).select(
+        "src", "dst", F.round(c, 6).alias("cos")
+    )

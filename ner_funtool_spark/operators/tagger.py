@@ -2,7 +2,7 @@
 
 This is the engine's analog of the reference's predict loop
 (predict_bert_crf.py:141-173: per-sentence convert_single_example ->
-sess.run -> strip -> extract), re-expressed as ONE ``mapInPandas``
+sess.run -> strip -> extract), re-expressed as ONE ``mapInArrow``
 stage over whole Arrow record batches — the north_star's explicit
 replacement for the row-at-a-time serving scripts.  Per-batch dynamic
 padding reproduces pad_sequences' batch-max semantics
@@ -66,19 +66,6 @@ def tokenize_batch(sentences: pd.Series, max_len: int = MAX_LEN):
     codes, uniques = pd.factorize(sentences.astype(str))
     utoks, ubegin, uend, ulens = _tokenize_unique(list(uniques), max_len)
     return utoks[codes], ubegin[codes], uend[codes], ulens[codes]
-
-
-def _shift(mat: np.ndarray, k: int, fill="") -> np.ndarray:
-    """Row-wise shift right by k (prev-token features; no cross-row leak)."""
-    out = np.full_like(mat, fill)
-    if k < mat.shape[1]:
-        out[:, k:] = mat[:, :-k] if k else mat
-    return out
-
-
-def _isin(mat: np.ndarray, vocab: frozenset) -> np.ndarray:
-    flat = pd.Series(mat.ravel())
-    return flat.isin(vocab).to_numpy().reshape(mat.shape)
 
 
 # --------------------------------------------------------------------------
@@ -169,59 +156,6 @@ CLASS_FNS = {"code": (code_token_classes, CODE_ETYPES), "doc": (doc_token_classe
 # --------------------------------------------------------------------------
 # vectorized mention extraction from decoded tag ids
 # --------------------------------------------------------------------------
-
-def extract_mentions(tags: np.ndarray, toks: np.ndarray, tbegin: np.ndarray,
-                     tend: np.ndarray, lengths: np.ndarray,
-                     sentences: pd.Series, etypes: list[str],
-                     score: np.ndarray | None = None) -> pd.DataFrame:
-    """Pipeline extraction rule (spans.pipeline_rule) vectorized.
-
-    Handles arbitrary (possibly BMES-invalid) tag sequences: groups are
-    maximal adjacent chains B(M*)E of consistent type; singleton S
-    emits; everything else drops.  Returns columns
-    (row, begin, end, text, etype, score).
-    """
-    B, S = tags.shape
-    mask = (np.arange(S)[None, :] < lengths[:, None]) & (tags > 0)
-    r_idx, c_idx = np.nonzero(mask)
-    if len(r_idx) == 0:
-        return pd.DataFrame(columns=["row", "begin", "end", "text", "etype", "score"])
-    tag_v = tags[r_idx, c_idx]
-    b_code = (tag_v - 1) % 4  # 0=B 1=M 2=E 3=S
-    t_code = (tag_v - 1) // 4
-    # previous *adjacent* valid position in the same row
-    same_prev = np.zeros(len(r_idx), dtype=bool)
-    same_prev[1:] = (r_idx[1:] == r_idx[:-1]) & (c_idx[1:] == c_idx[:-1] + 1)
-    pb = np.roll(b_code, 1)
-    pt = np.roll(t_code, 1)
-    continues = same_prev & np.isin(b_code, (1, 2)) & np.isin(pb, (0, 1)) & (pt == t_code)
-    gid = np.cumsum(~continues)
-    df = pd.DataFrame({
-        "g": gid, "row": r_idx, "pos": c_idx, "b": b_code, "t": t_code,
-        "score": score[r_idx, c_idx] if score is not None else np.zeros(len(r_idx), dtype=np.float32),
-    })
-    agg = df.groupby("g", sort=False).agg(
-        row=("row", "first"), first_pos=("pos", "first"), last_pos=("pos", "last"),
-        first_b=("b", "first"), last_b=("b", "last"), n=("b", "size"),
-        t=("t", "first"), score=("score", "mean"),
-    )
-    ok = ((agg["first_b"] == 0) & (agg["last_b"] == 2) & (agg["n"] >= 2)) | (
-        (agg["first_b"] == 3) & (agg["n"] == 1)
-    )
-    m = agg[ok]
-    if m.empty:
-        return pd.DataFrame(columns=["row", "begin", "end", "text", "etype", "score"])
-    rows = m["row"].to_numpy()
-    begin = tbegin[rows, m["first_pos"].to_numpy()]
-    end = tend[rows, m["last_pos"].to_numpy()]
-    sent_arr = sentences.to_numpy()
-    text = [sent_arr[r][b:e] for r, b, e in zip(rows, begin, end)]
-    ety = np.asarray(etypes, dtype=object)[m["t"].to_numpy()]
-    return pd.DataFrame({
-        "row": rows, "begin": begin.astype("int32"), "end": end.astype("int32"),
-        "text": text, "etype": ety, "score": m["score"].to_numpy().astype("float32"),
-    })
-
 
 # --------------------------------------------------------------------------
 # the fused Spark stage

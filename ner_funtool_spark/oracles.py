@@ -695,3 +695,29 @@ WITH rates AS (
 SELECT e.event_id, e.ts, r.rt, r.rate
 FROM events e ASOF LEFT JOIN rates r ON e.ts >= r.rt
 """
+
+
+def embedding_link_sql(threshold: float = 0.5, dim: int = 16) -> str:
+    """Pooled ±1-bit-vector embeddings + cosine over blocked pairs."""
+    h = H_SQL.format(x="t")
+    pooled = (
+        f"list_transform(range({dim}), j -> "
+        f"list_sum(list_transform(toks, t -> (({h} >> j) & 1) * 2 - 1)) * 1.0 / len(toks))"
+    )
+    dot = f"list_sum(list_transform(range({dim}), i -> a.vec[i + 1] * b.vec[i + 1]))"
+    na = f"sqrt(list_sum(list_transform(range({dim}), i -> a.vec[i + 1] * a.vec[i + 1])))"
+    nb = f"sqrt(list_sum(list_transform(range({dim}), i -> b.vec[i + 1] * b.vec[i + 1])))"
+    cos = f"({dot} / ({na} * {nb}))"
+    return f"""
+WITH {doc_mentions_cte()},
+ents AS (SELECT DISTINCT text, etype FROM mention_rows),
+feat AS (
+    SELECT text, etype,
+           {pooled} AS vec,
+           etype || '#' || string_split(text, ' ')[1] AS block
+    FROM (SELECT *, string_split(text, ' ') AS toks FROM ents)
+)
+SELECT a.text AS src, b.text AS dst, round({cos}, 6) AS cos
+FROM feat a JOIN feat b ON a.block = b.block AND a.text < b.text
+WHERE {cos} >= {threshold}
+"""

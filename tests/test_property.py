@@ -14,7 +14,7 @@ from ner_funtool_spark.functions.crf import (
 )
 from ner_funtool_spark.functions.model import class_emissions
 from ner_funtool_spark.functions.spans import pipeline_rule
-from ner_funtool_spark.operators.tagger import extract_mentions
+from ner_funtool_spark.operators.tagger import extract_mentions_arrays
 
 TAGNAMES = ["O"] + [f"{b}-{t}" for t in ("a", "b") for b in "BMES"]
 
@@ -75,11 +75,13 @@ def test_vectorized_extraction_equals_pipeline_rule(tag_ids):
         te_l.append(off + len(w))
         off += len(w) + 1
     tags = np.array([tag_ids], dtype=np.int32)
-    toks = np.array([words], dtype=object)
     tb = np.array([tb_l], dtype=np.int32)
     te = np.array([te_l], dtype=np.int32)
-    got = extract_mentions(tags, toks, tb, te, np.array([n]), pd.Series([sent]), ["a", "b"])
+    m = extract_mentions_arrays(tags, tb, te, np.array([n]))
+    got_set = {
+        (b, e, sent[b:e], ("a", "b")[t])
+        for b, e, t in zip(m["begin"], m["end"], m["etype_id"])
+    }
     want = pipeline_rule(words, [TAGNAMES[t] for t in tag_ids])
-    got_set = {(r.begin, r.end, r.text, r.etype) for r in got.itertuples()}
-    want_set = {(tb_l[m.begin], te_l[m.end], m.text, m.etype) for m in want}
+    want_set = {(tb_l[x.begin], te_l[x.end], x.text, x.etype) for x in want}
     assert got_set == want_set

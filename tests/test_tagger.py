@@ -13,7 +13,7 @@ import pytest
 
 from ner_funtool_spark.operators.tagger import (
     code_token_classes,
-    extract_mentions,
+    extract_mentions_arrays,
     tag_sequences,
     tokenize_batch,
 )
@@ -104,14 +104,14 @@ def test_extract_mentions_handles_invalid_sequences():
     for _ in range(30):
         n = int(rng.randint(1, 10))
         tags = rng.randint(0, 9, size=(1, n)).astype(np.int32)
-        toks = np.array([[f"w{j}" for j in range(n)]], dtype=object)
         tb = np.arange(0, 3 * n, 3, dtype=np.int32).reshape(1, n)
         te = tb + 2
         sent = " ".join(f"w{j}" for j in range(n))
-        got = extract_mentions(
-            tags, toks, tb, te, np.array([n]), pd.Series([sent]), etypes
-        )
+        m = extract_mentions_arrays(tags, tb, te, np.array([n]))
+        got_set = {
+            (b, e, sent[b:e], etypes[t])
+            for b, e, t in zip(m["begin"], m["end"], m["etype_id"])
+        }
         want = pipeline_rule([f"w{j}" for j in range(n)], [names[t] for t in tags[0]])
-        got_set = {(r.begin, r.end, r.text, r.etype) for r in got.itertuples()}
-        want_set = {(3 * m.begin, 3 * m.end + 2, m.text, m.etype) for m in want}
+        want_set = {(3 * x.begin, 3 * x.end + 2, x.text, x.etype) for x in want}
         assert got_set == want_set, (tags.tolist(), got_set, want_set)

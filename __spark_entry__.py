@@ -322,6 +322,12 @@ def _q_asof_join(spark, sf_dir):
     return out.select("event_id", "ts", "rt", "rate")
 
 
+def _q_kg_repo_rollup(spark, sf_dir):
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules")
+    return t.rollup("repo", "pred").agg(F.count("*").alias("n"))
+
+
 def _q_sales_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -364,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
         "sales_cube": _q_sales_cube,
+        "kg_repo_rollup": _q_kg_repo_rollup,
         "asof_join": _q_asof_join,
     }
 
@@ -401,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracles.sessionize_sql(),
         "vocab_build": oracles.vocab_build_sql(min_count=2),
         "sales_cube": oracles.sales_cube_sql(),
+        "kg_repo_rollup": oracles.kg_repo_rollup_sql(),
         "asof_join": oracles.asof_join_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no

@@ -721,3 +721,25 @@ SELECT a.text AS src, b.text AS dst, round({cos}, 6) AS cos
 FROM feat a JOIN feat b ON a.block = b.block AND a.text < b.text
 WHERE {cos} >= {threshold}
 """
+
+
+def kg_repo_rollup_sql() -> str:
+    """ROLLUP over the flagship pipeline's own triples: triple counts
+    per (repo, pred) with subtotals — KG analytics on KG output."""
+    return f"""
+WITH {doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo,
+           sha256(text) AS content_sha
+    FROM documents
+),
+triples AS (
+    SELECT m.repo,
+           CASE m.etype WHEN 'op' THEN 'MENTIONS_OP' ELSE 'MENTIONS_OBJ' END AS pred
+    FROM mention_rows m
+    UNION ALL
+    SELECT repo, 'CONTAINS' AS pred FROM doc_sha
+)
+SELECT repo, pred, count(*) AS n
+FROM triples GROUP BY ROLLUP (repo, pred)
+"""

@@ -87,6 +87,73 @@ def test_stateful_running_counts(spark, stream_dirs):
     assert got == want and len(want) > 0
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark: an event
+    arriving in a later micro-batch but older than the watermark is
+    dropped; only closed windows are emitted."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.to_datetime([r[0] for r in rows]).astype("datetime64[us]"),
+                "user_id": [1] * len(rows),
+                "event_type": [r[1] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(src / name)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = read_events_stream(spark, str(src))
+        agg = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        try:
+            return {
+                str(r["w_start"]): r["n"]
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return {}
+
+    # run 1: three on-time events in the 10:00 hour -> watermark
+    # advances to 10:29, nothing emitted yet (window still open)
+    write("0.parquet", [("2024-01-01 10:05:00", "a"),
+                        ("2024-01-01 10:20:00", "a"),
+                        ("2024-01-01 10:59:00", "a")])
+    assert run_once() == {}
+
+    # run 2 (restart from checkpoint; watermark restored at 10:29):
+    # one LATE event (09:10, window end 10:00 <= watermark -> dropped)
+    # + a fresh 11:30 event that closes the 10:00 window
+    write("1.parquet", [("2024-01-01 09:10:00", "a"),
+                        ("2024-01-01 11:30:00", "a")])
+    rows = run_once()
+    # 10:00 window emits its 3 on-time events (state survived the
+    # restart); the late event created no 09:00 window; the 11:00
+    # window stays open in append mode
+    assert rows == {"2024-01-01 10:00:00": 3}
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 00:00:00"),

@@ -123,6 +123,14 @@ def _q_label_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.label_f1_macro(
+        _crf_mentions_std(spark, sf_dir),
+        _relational_mentions_alt(spark, sf_dir),
+        line_keys=["repo", "path"],
+    )
+
+
 def _q_link_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_funtool_spark.operators.linking import candidate_pairs
 
@@ -149,7 +157,9 @@ def _q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_T = 0.08
 COSINE_T = 0.4
-SIMHASH_D = 10
+# 64-bit fingerprint, 4-block pigeonhole: candidate recall is GUARANTEED
+# for Hamming distance <= 3 (operators/dedup.py:simhash_pairs)
+SIMHASH_D = 3
 ANN_K = 5
 ANN_QUERY_MAX = 10
 
@@ -306,6 +316,9 @@ def _q_kg_mentions_cascade(spark, sf_dir):
 
 
 def _q_asof_join(spark, sf_dir):
+    """As-of enrichment with DUPLICATE left rows planted (every 97th
+    event appears twice) — proves duplicates are preserved, not merged
+    (VERDICT r1 item 6)."""
     from ner_funtool_spark.functions.hashing import md5_int_col
     from ner_funtool_spark.operators.asof import asof_join
 
@@ -318,8 +331,38 @@ def _q_asof_join(spark, sf_dir):
             (md5_int_col(F.date_format("h", "yyyy-MM-dd HH")) % 100).alias("rate"),
         )
     )
-    out = asof_join(ev.select("event_id", "ts"), rates, lookback=6)
+    left = ev.select("event_id", "ts")
+    left = left.unionAll(left.filter(F.col("event_id") % 97 == 0))
+    out = asof_join(left, rates, lookback=6)
     return out.select("event_id", "ts", "rt", "rate")
+
+
+def _q_asof_join_keyed(spark, sf_dir):
+    """Per-key as-of join (keys=[event_type]): rates exist for every
+    (event_type, hour) so the lookback horizon covers every event."""
+    from ner_funtool_spark.functions.hashing import md5_int_col
+    from ner_funtool_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    rates = (
+        ev.select(hour.alias("h")).distinct()
+        .crossJoin(ev.select("event_type").distinct())
+        .select(
+            "event_type",
+            (F.col("h") + F.expr("INTERVAL 30 MINUTES")).alias("rt"),
+            (
+                md5_int_col(
+                    F.concat_ws("|", F.col("event_type"), F.date_format("h", "yyyy-MM-dd HH"))
+                ) % 100
+            ).alias("rate"),
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"), rates,
+        lookback=6, keys=["event_type"],
+    )
+    return out.select("event_id", "event_type", "ts", "rt", "rate")
 
 
 def _q_kg_repo_rollup(spark, sf_dir):
@@ -347,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_matrix": _q_confusion_matrix,
         "entity_prf": _q_entity_prf,
         "label_f1": _q_label_f1,
+        "label_f1_macro": _q_label_f1_macro,
         "link_candidates": _q_link_candidates,
         "embedding_link": _q_embedding_link,
         "entity_canonicalize": _q_entity_canonicalize,
@@ -372,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "asof_join": _q_asof_join,
+        "asof_join_keyed": _q_asof_join_keyed,
     }
 
 
@@ -386,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "confusion_matrix": oracles.confusion_matrix_sql(),
         "entity_prf": oracles.entity_prf_sql(),
         "label_f1": oracles.label_f1_sql(),
+        "label_f1_macro": oracles.label_f1_macro_sql(),
         "link_candidates": oracles.link_candidates_sql(),
         "embedding_link": oracles.embedding_link_sql(),
         "entity_canonicalize": oracles.canonicalize_sql(),
@@ -410,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_cube": oracles.sales_cube_sql(),
         "kg_repo_rollup": oracles.kg_repo_rollup_sql(),
         "asof_join": oracles.asof_join_sql(),
+        "asof_join_keyed": oracles.asof_join_keyed_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

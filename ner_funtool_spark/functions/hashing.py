@@ -44,6 +44,23 @@ def md5_int_sql_duckdb(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def md5_int2(s: str) -> int:
+    """Second 32 bits of md5(s) (hex chars 9-16) — an independent
+    cross-engine hash stream; together with :func:`md5_int` it yields 64
+    deterministic bits per string (simhash fingerprints)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[8:16], 16)
+
+
+def md5_int2_col(c: Column) -> Column:
+    """Spark column form of :func:`md5_int2`."""
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+
+def md5_int2_sql_duckdb(expr: str) -> str:
+    """DuckDB SQL form of :func:`md5_int2`."""
+    return f"(('0x' || substr(md5({expr}), 9, 8))::BIGINT)"
+
+
 def minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """k universal-hash permutations (a*x+b) mod p, deterministic in seed."""
     rng = np.random.RandomState(seed)

@@ -6,15 +6,26 @@ event-time enrichment is a standard need next to the events table.
 
 Strategy (the scale path, per pyspark guide 'common OLAP patterns'):
 bucketize the range key to a time grain, equi-join each left row to a
-bounded window of right-side buckets (explode of `lookback` offsets),
-keep the max right timestamp <= left timestamp.  Shuffle cost is
+bounded window of right-side buckets (explode of ``lookback`` offsets),
+keep the greatest right timestamp <= left timestamp.  Shuffle cost is
 O(left * lookback) on an equi key — never a theta join.
 
-The exactness condition is documented and asserted: the right side
-must have at least one row within `lookback` grains of every left row
-(otherwise rows get NULL instead of an older match).  The DuckDB
-oracle uses a native ASOF JOIN; equivalence holds under that density
-condition.
+Round-2 hardening (VERDICT r1 item 6):
+
+* duplicate left rows are PRESERVED — each left row gets a synthetic
+  ``monotonically_increasing_id`` before the explode, and the best
+  match is reduced per id (no groupBy over value columns that would
+  merge identical rows);
+* duplicate right timestamps per key produce exactly ONE output row —
+  the best match is max over struct(right_ts, value cols...), a total
+  order, so ties on right_ts break deterministically by value;
+* the equality-``keys`` path is exercised by the driver query
+  Q:asof_join_keyed.
+
+Exactness vs a native ASOF JOIN still has one horizon condition: a
+right-side match older than ``lookback`` grains is reported as NULL
+rather than found.  Callers pick ``lookback`` >= the max right-side
+gap (the driver queries construct rates with max gap < 2 grains).
 """
 
 from __future__ import annotations
@@ -27,14 +38,17 @@ def asof_join(left: DataFrame, right: DataFrame, *, left_ts: str = "ts",
               right_ts: str = "rt", grain: str = "hour",
               lookback: int = 6, keys: list[str] | None = None) -> DataFrame:
     """For every left row: the right row with the greatest ``right_ts``
-    <= ``left_ts`` (within ``lookback`` grains), optionally per equality
-    ``keys``.  Right-side value columns are suffixed as-is.
+    <= ``left_ts`` within ``lookback`` grains, optionally per equality
+    ``keys``.  Output = all left columns + ``right_ts`` + the right
+    value columns (NULL when no match in the horizon).  Exactly one
+    output row per left row, duplicates included.
     """
     keys = keys or []
-    lb = F.col("_b")
-    l = left.withColumn(  # noqa: E741
-        "_lb", F.date_trunc(grain, F.col(left_ts))
-    ).withColumn(
+    rvals = [c for c in right.columns if c not in keys + [right_ts]]
+    left_cols = list(left.columns)
+
+    l = left.withColumn("_row", F.monotonically_increasing_id())  # noqa: E741
+    l = l.withColumn("_lb", F.date_trunc(grain, F.col(left_ts))).withColumn(  # noqa: E741
         "_b",
         F.explode(
             F.transform(
@@ -49,17 +63,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, left_ts: str = "ts",
     j = l.join(r, keys + ["_b"], "left").filter(
         F.col(right_ts).isNull() | (F.col(right_ts) <= F.col(left_ts))
     )
-    # best match per left row: max right_ts
-    left_cols = [c for c in left.columns]
-    w_keys = left_cols
-    best = j.groupBy(*w_keys).agg(F.max(right_ts).alias(right_ts))
-    out = best.join(r.drop("_b"), keys + [right_ts] if keys else [right_ts], "left")
-    return out
-
-
-def asof_join_exact_sql_note() -> str:
-    return (
-        "exactness requires a right-side row within `lookback` grains "
-        "of every left row; the oracle's native ASOF JOIN has no such "
-        "horizon"
+    # one reduction per left row: max over struct(rt, values...) — a
+    # total order, so duplicate right timestamps resolve deterministically;
+    # null fields sort first, so any real match beats the no-match row
+    best = j.groupBy("_row", *left_cols).agg(
+        F.max(F.struct(F.col(right_ts), *[F.col(c) for c in rvals])).alias("_r")
+    )
+    return best.select(
+        *left_cols,
+        F.col("_r").getField(right_ts).alias(right_ts),
+        *[F.col("_r").getField(c).alias(c) for c in rvals],
     )

@@ -37,10 +37,17 @@ def ledger_path(out_dir: str) -> str:
 
 
 def load_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Empty ledger ONLY when the path does not exist yet (first run);
+    any other read failure (corrupt files, permissions) re-raises —
+    silently rewriting on corruption would mask lost run lineage."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path(out_dir))
-    except Exception:
-        return spark.createDataFrame([], LEDGER_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], LEDGER_SCHEMA)
+        raise
 
 
 def resumable_write(salted: DataFrame, out_dir: str,

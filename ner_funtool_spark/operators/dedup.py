@@ -11,29 +11,54 @@ shapes that survive a 100 TB corpus:
                    (functions/hashing.py), banded; candidates share a
                    band bucket.  The scale path: candidate count is
                    O(near-dups), not O(n²).
-* simhash        — 32-bit sign-aggregated token-hash fingerprint;
-                   candidates share a 16-bit half (Hamming pigeonhole),
+* simhash        — 64-bit sign-aggregated token-hash fingerprint;
+                   candidate blocking is the (max_distance + 1)-block
+                   pigeonhole: two fingerprints within Hamming distance
+                   d differ in at most d blocks, so they MUST agree on
+                   at least one of d+1 blocks — candidate recall is
+                   guaranteed for the advertised distance, then
                    verified by bit_count(xor) <= max_distance.
 * embedding cosine — see operators/similarity.py (near_duplicates_cosine).
+
+Skew safety: ngram-jaccard caps the document frequency of blocking
+shingles (``max_df``) so one boilerplate shingle can never create an
+O(df²) candidate block; dropped shingles are logged, never silent.
 
 Every detector is deterministic and mirrored by a DuckDB oracle in
 oracles.py; hash parameters are literals generated from config.SEED so
 both engines compute identical signatures.
+
+Caching: the shingle DataFrames are persisted (MEMORY_AND_DISK) because
+each feeds 2-3 downstream plans in the same query; the cache lives for
+the session and relies on Spark's LRU eviction — an intentional,
+documented tradeoff (a long-lived session re-running these per query
+re-uses the hot blocks instead of rescanning the corpus).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SEED
-from ..functions.hashing import MERSENNE_P, md5_int_col, minhash_params
+from ..functions.hashing import (
+    MERSENNE_P,
+    md5_int2_col,
+    md5_int_col,
+    minhash_params,
+)
+
+logger = logging.getLogger(__name__)
 
 SHINGLE_K = 3
 MINHASH_K = 16
 LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 4
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+MAX_SHINGLE_DF = 1000  # blocking-key document-frequency cap
+INT64_MIN = -(1 << 63)  # two's-complement value of bit 63
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text",
@@ -67,31 +92,62 @@ def shingles(documents: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = SHINGLE_K) -> DataFrame:
+                        k: int = SHINGLE_K,
+                        max_df: int = MAX_SHINGLE_DF,
+                        log_dropped: bool = True) -> DataFrame:
     """(a, b, score) doc pairs with shingle-set jaccard >= threshold.
 
-    Candidates = pairs sharing >= 1 shingle; intersection sizes come
-    from the same join (count per pair), unions from per-doc set sizes
-    — no second pass over the text.
+    Candidates = pairs sharing >= 1 *blocking* shingle; a blocking
+    shingle is one whose document frequency is <= ``max_df``.  Hotter
+    shingles (license boilerplate, common code idioms) are excluded
+    from candidate generation — otherwise a single shingle with df=D
+    yields O(D²) candidate rows on one skewed key.  Verification uses
+    the FULL shingle sets, so reported jaccard scores are exact; the
+    only approximation is recall for pairs whose overlap consists
+    ENTIRELY of >max_df shingles.  Dropped shingles are logged
+    (``log_dropped``), never silent.
     """
     sh = shingles(documents, text_col, id_col, k).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    if log_dropped:
+        hot = df_counts.filter(F.col("_df") > max_df)
+        n_hot = hot.count()
+        if n_hot:
+            sample = [r["shingle"] for r in hot.orderBy(F.desc("_df")).head(5)]
+            logger.warning(
+                "ngram_jaccard_pairs: %d shingles over max_df=%d dropped "
+                "from candidate blocking (top: %s)", n_hot, max_df, sample)
+    block_sh = sh.join(
+        df_counts.filter(F.col("_df") <= max_df).select("shingle"), "shingle"
+    )
+    cand = (
+        block_sh.select(F.col(id_col).alias("a"), "shingle")
+        .join(block_sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
+    """Exact-jaccard verification of (a, b) candidates against the full
+    shingle table — candidate-proportional, shared by ngram + LSH paths."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ni = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("ni"))
     )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
+    return (
+        ni.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
         .withColumn("jac", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
         .filter(F.col("jac") >= threshold)
         .select("a", "b", F.round("jac", 6).alias("score"))
     )
-    return out
 
 
 def minhash_signatures(documents: DataFrame, text_col: str = "text",
@@ -127,23 +183,22 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
                       seed: int = SEED) -> DataFrame:
     """MinHash-LSH candidate generation + exact-jaccard verification.
 
-    band bucket key = (band_id, all r signature values of the band);
-    pairs sharing any bucket are verified with the true shingle jaccard
+    band bucket key = one BIGINT — bit_xor of xxhash64(i, sig) over the
+    band's r signature rows.  Key equality is implied by equal band
+    contents (so no true candidate is ever lost), and any xor collision
+    only ADDS a candidate that the exact-jaccard verification then
+    rejects — which is why a JVM-native hash is safe here even though
+    it differs from DuckDB's.  One 8-byte key instead of the previous
+    ~r*24-byte concat string cuts the self-join shuffle width.
+
+    Pairs sharing any bucket are verified with the true shingle jaccard
     (so the threshold is exact, LSH only prunes).
     """
     r = k // bands
     sig = minhash_signatures(documents, text_col, id_col, k, SHINGLE_K, seed)
     banded = sig.withColumn("band", (F.col("i") / r).cast("int")).groupBy(
         id_col, "band"
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "sig"))),
-                lambda x: F.concat_ws(":", x["i"].cast("string"), x["sig"].cast("string")),
-            ),
-            "|",
-        ).alias("key")
-    )
+    ).agg(F.bit_xor(F.xxhash64("i", "sig")).alias("key"))
     a = banded.select(F.col(id_col).alias("a"), "band", "key")
     b = banded.select(F.col(id_col).alias("b"), "band", "key")
     cand = (
@@ -156,45 +211,45 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
     # LSH candidates (never the full pair enumeration — that is the
     # whole point of LSH at corpus scale)
     sh = shingles(documents, text_col, id_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ni = (
-        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
-        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("ni"))
-    )
-    out = (
-        ni.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
-        .withColumn("jac", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
-        .filter(F.col("jac") >= threshold)
-        .select("a", "b", F.round("jac", 6).alias("score"))
-    )
-    return out
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+def block_widths(bits: int, n_blocks: int) -> list[int]:
+    """Split ``bits`` into ``n_blocks`` contiguous widths, low to high
+    (the first ``bits % n_blocks`` blocks get the extra bit)."""
+    base = bits // n_blocks
+    return [base + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
 
 
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, fp): sign-aggregated token-hash fingerprint.
+    """(id, fp): 64-bit sign-aggregated token-hash fingerprint.
 
-    bit_j(fp) = 1 iff sum over DISTINCT tokens of (2*bit_j(H(tok)) - 1) > 0.
+    bit_j(fp) = 1 iff sum over DISTINCT tokens of (2*bit_j(H(tok)) - 1) > 0,
+    with H = the two independent 32-bit cross-engine md5 streams
+    (functions/hashing.py: hex chars 1-8 for bits 0-31, 9-16 for bits
+    32-63).  Bit 63 is the int64 sign bit: its term is INT64_MIN (the
+    two's-complement value of 1<<63), so fp stays a plain BIGINT in
+    both engines with no overflow.
     """
     toks = documents.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).withColumn("h", md5_int_col(F.col("tok")))
+    ).withColumn("h1", md5_int_col(F.col("tok"))).withColumn(
+        "h2", md5_int2_col(F.col("tok"))
+    )
     # one aggregation with `bits` vote columns instead of a bits-table
     # cross join: shuffles 1 row per token, not `bits` rows per token
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"v{j}")
-            for j in range(bits)
-        ]
-    )
+    def vote(j: int):
+        src, off = ("h1", j) if j < 32 else ("h2", j - 32)
+        return F.sum(F.expr(f"(shiftright({src}, {off}) & 1) * 2 - 1")).alias(f"v{j}")
+
+    votes = toks.groupBy(id_col).agg(*[vote(j) for j in range(bits)])
     fp = None
     for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+        bit_val = INT64_MIN if j == 63 else (1 << j)
+        term = F.when(F.col(f"v{j}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         fp = term if fp is None else fp + term
@@ -204,25 +259,32 @@ def simhash_fingerprints(documents: DataFrame, text_col: str = "text",
 def simhash_pairs(documents: DataFrame, max_distance: int,
                   text_col: str = "text", id_col: str = "doc_id",
                   bits: int = SIMHASH_BITS) -> DataFrame:
-    """(a, b, dist) pairs with Hamming(fp_a, fp_b) <= max_distance.
+    """(a, b, dist) pairs with Hamming(fp_a, fp_b) <= max_distance —
+    COMPLETE for the advertised distance.
 
-    Blocking: two fingerprints within distance d <= bits/2 - 1 share at
-    least one of the two 16-bit halves OR... pigeonhole only guarantees
-    a shared half for d = 0 within that half; for robustness candidates
-    are pairs sharing either half, then verified — at corpus scale the
-    halves partition the table into ~2^16 buckets.
+    Blocking: the fingerprint is split into ``max_distance + 1``
+    contiguous blocks; two fingerprints within Hamming distance d can
+    differ in at most d blocks, so by pigeonhole they agree exactly on
+    at least one block — every qualifying pair is a candidate in some
+    bucket.  Candidates are then verified with the exact bit_count.
+    With the default 64-bit fp and d=3 this is the standard simhash
+    dedup config (4 blocks of 16 bits → ~2^16 buckets per block).
+
+    Block extraction is (fp >> lo) & mask — the & mask erases the
+    arithmetic-shift sign extension identically in Spark and DuckDB.
     """
+    n_blocks = max_distance + 1
+    widths = block_widths(bits, n_blocks)
     fp = simhash_fingerprints(documents, text_col, id_col, bits)
-    half = bits // 2
+    buckets, lo = [], 0
+    for i, w in enumerate(widths):
+        blk = F.shiftright(F.col("fp"), lo) if lo else F.col("fp")
+        if w < 64:  # a 64-bit mask overflows int64; full-width needs none
+            blk = blk.bitwiseAND(F.lit((1 << w) - 1))
+        buckets.append(F.concat(F.lit(f"b{i}:"), blk.cast("string")))
+        lo += w
     parts = fp.select(
-        F.col(id_col),
-        F.col("fp"),
-        F.explode(
-            F.array(
-                F.concat(F.lit("lo:"), (F.col("fp") % F.lit(1 << half)).cast("string")),
-                F.concat(F.lit("hi:"), F.shiftright(F.col("fp"), half).cast("string")),
-            )
-        ).alias("bucket"),
+        F.col(id_col), F.col("fp"), F.explode(F.array(*buckets)).alias("bucket")
     )
     a = parts.select(F.col(id_col).alias("a"), F.col("fp").alias("fa"), "bucket")
     b = parts.select(F.col(id_col).alias("b"), F.col("fp").alias("fb"), "bucket")

@@ -18,9 +18,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import logging
+
 from .components import canonicalize
 
+logger = logging.getLogger(__name__)
+
 JACCARD_THRESHOLD = 0.5
+MAX_BLOCK = 1000  # entities per blocking key before secondary refinement
+
+
+def _refine_hot_blocks(e: DataFrame, raw_col: str = "raw",
+                       max_block: int = MAX_BLOCK,
+                       log_refined: bool = True) -> DataFrame:
+    """Block-size cap: any block holding more than ``max_block``
+    entities is refined with a secondary key (the SECOND token, '' if
+    absent), so one common first token ("get", "the") can never create
+    a block with quadratic pair count.  Pairs inside an oversized block
+    that differ in their second token are the documented recall
+    tradeoff; refined blocks are logged, never silent.
+    """
+    counts = e.groupBy("block").agg(F.count("*").alias("_bn"))
+    if log_refined:
+        hot = counts.filter(F.col("_bn") > max_block)
+        n_hot = hot.count()
+        if n_hot:
+            sample = [r["block"] for r in hot.orderBy(F.desc("_bn")).head(5)]
+            logger.warning(
+                "linking: %d blocks over max_block=%d refined with the "
+                "second-token key (top: %s)", n_hot, max_block, sample)
+    refined = F.concat_ws(
+        "#", F.col("block"), F.coalesce(F.element_at(raw_col, 2), F.lit(""))
+    )
+    return (
+        e.join(counts, "block")
+        .withColumn(
+            "block",
+            F.when(F.col("_bn") > max_block, refined).otherwise(F.col("block")),
+        )
+        .drop("_bn")
+    )
 
 
 def alias_link(mentions: DataFrame, alias_df: DataFrame,
@@ -40,12 +77,15 @@ def alias_link(mentions: DataFrame, alias_df: DataFrame,
 def candidate_pairs(entities: DataFrame, id_col: str = "text",
                     etype_col: str = "etype",
                     threshold: float = JACCARD_THRESHOLD,
-                    token_pattern: str = " ") -> DataFrame:
+                    token_pattern: str = " ",
+                    max_block: int = MAX_BLOCK) -> DataFrame:
     """Blocked candidate-pair generation + token-set jaccard scoring.
 
     entities: distinct (text, etype) rows.  Block key = (etype, first
-    token); within a block all pairs with jaccard(token sets) >=
-    threshold become link edges (src < dst to dedupe).
+    token), refined with the second token for blocks over ``max_block``
+    (see _refine_hot_blocks — bounded pair count per key); within a
+    block all pairs with jaccard(token sets) >= threshold become link
+    edges (src < dst to dedupe).
 
     Jaccard is computed with array_intersect/array_union on the
     pre-split token arrays — pure codegen, no UDF.
@@ -58,8 +98,8 @@ def candidate_pairs(entities: DataFrame, id_col: str = "text",
         .withColumn("raw", F.split(F.col(id_col), token_pattern))
         .withColumn("toks", F.array_distinct(F.col("raw")))
         .withColumn("block", F.concat_ws("#", F.col(etype_col), F.element_at("raw", 1)))
-        .drop("raw")
     )
+    e = _refine_hot_blocks(e, max_block=max_block).drop("raw")
     a = e.select(
         F.col("block"),
         F.col(id_col).alias("src"),
@@ -132,23 +172,27 @@ def pooled_embedding(text_col, dim: int = 16):
 
 def embedding_link_scores(entities: DataFrame, id_col: str = "text",
                           etype_col: str = "etype",
-                          threshold: float = 0.5, dim: int = 16) -> DataFrame:
+                          threshold: float = 0.5, dim: int = 16,
+                          max_block: int = MAX_BLOCK) -> DataFrame:
     """Blocked candidate pairs scored by cosine over pooled embeddings
     (the north_star's second linking scorer, next to token jaccard).
 
-    Same blocking as candidate_pairs (etype + first token); emits
-    (src, dst, cos) for pairs with cosine >= threshold."""
+    Same blocking as candidate_pairs (etype + first token, hot blocks
+    refined with the second token); emits (src, dst, cos) for pairs
+    with cosine >= threshold."""
     from .similarity import cosine
 
     e = (
         entities.select(id_col, etype_col)
         .distinct()
         .withColumn("vec", pooled_embedding(F.col(id_col), dim))
+        .withColumn("raw", F.split(F.col(id_col), " "))
         .withColumn(
             "block",
-            F.concat_ws("#", F.col(etype_col), F.element_at(F.split(F.col(id_col), " "), 1)),
+            F.concat_ws("#", F.col(etype_col), F.element_at("raw", 1)),
         )
     )
+    e = _refine_hot_blocks(e, max_block=max_block).drop("raw")
     a = e.select("block", F.col(id_col).alias("src"), F.col("vec").alias("va"))
     b = e.select("block", F.col(id_col).alias("dst"), F.col("vec").alias("vb"))
     pairs = a.join(b, "block").filter(F.col("src") < F.col("dst"))

@@ -146,13 +146,9 @@ def entity_prf(pred_m: DataFrame, gold_m: DataFrame, keys: list[str]) -> DataFra
     )
 
 
-def label_f1(pred_m: DataFrame, gold_m: DataFrame, line_keys: list[str],
-             label_col: str = "etype", word_col: str = "text") -> DataFrame:
-    """CLUE-style per-label TP/FP/FN + P/R/F1 (cluener_score.py:10-35).
-
-    The reference compares *distinct word keys* per (line, label) —
-    dict keys — so both sides are deduplicated before the joins.
-    """
+def _label_f1_counts(pred_m: DataFrame, gold_m: DataFrame, line_keys: list[str],
+                     label_col: str, word_col: str) -> DataFrame:
+    """Internal: per-label (label, tp, fp, fn) counts on distinct keys."""
     keys = line_keys + [label_col, word_col]
     p_k = pred_m.select(*keys).distinct()
     g_k = gold_m.select(*keys).distinct()
@@ -160,12 +156,22 @@ def label_f1(pred_m: DataFrame, gold_m: DataFrame, line_keys: list[str],
     fp = p_k.join(g_k, keys, "left_anti").groupBy(label_col).agg(F.count("*").alias("fp"))
     fn = g_k.join(p_k, keys, "left_anti").groupBy(label_col).agg(F.count("*").alias("fn"))
     labels = p_k.select(label_col).union(g_k.select(label_col)).distinct()
-    m = (
+    return (
         labels.join(tp, label_col, "left")
         .join(fp, label_col, "left")
         .join(fn, label_col, "left")
         .fillna(0)
     )
+
+
+def label_f1(pred_m: DataFrame, gold_m: DataFrame, line_keys: list[str],
+             label_col: str = "etype", word_col: str = "text") -> DataFrame:
+    """CLUE-style per-label TP/FP/FN + P/R/F1 (cluener_score.py:10-35).
+
+    The reference compares *distinct word keys* per (line, label) —
+    dict keys — so both sides are deduplicated before the joins.
+    """
+    m = _label_f1_counts(pred_m, gold_m, line_keys, label_col, word_col)
     # try_divide: a label with zero predictions (or p=r=0) yields NULL
     # where the reference scorer would raise ZeroDivisionError
     p = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
@@ -178,4 +184,26 @@ def label_f1(pred_m: DataFrame, gold_m: DataFrame, line_keys: list[str],
         F.round(p, 6).alias("precision"),
         F.round(r, 6).alias("recall"),
         F.round(F.try_divide(2 * p * r, p + r), 6).alias("f1"),
+    )
+
+
+def label_f1_macro(pred_m: DataFrame, gold_m: DataFrame, line_keys: list[str],
+                   label_col: str = "etype", word_col: str = "text") -> DataFrame:
+    """Macro average over labels — the reference's headline CLUE number
+    (cluener_score.py:38-49: sum of per-label f1 / number of labels).
+
+    Averages the UNROUNDED per-label values; labels whose p/r/f1 is
+    undefined (zero denominators, where the reference scorer would raise
+    ZeroDivisionError) are NULL and excluded by avg() — identically in
+    Spark and DuckDB.  One row: (n_labels, precision, recall, f1).
+    """
+    m = _label_f1_counts(pred_m, gold_m, line_keys, label_col, word_col)
+    p = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    r = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = F.try_divide(2 * p * r, p + r)
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_labels"),
+        F.round(F.avg(p), 6).alias("precision"),
+        F.round(F.avg(r), 6).alias("recall"),
+        F.round(F.avg(f1), 6).alias("f1"),
     )

@@ -92,8 +92,8 @@ def with_salted_part(triples: DataFrame, n_parts: int = 32,
     ``n_salt`` salt buckets so no single partition owns a hot key.
 
     part = pmod(xxhash64(repo), n_parts); salt = pmod(xxhash64(subj,
-    obj), n_salt) — deterministic, so re-runs land rows in identical
-    partitions (required by the resumable checkpoint ledger).
+    pred, obj), n_salt) — deterministic, so re-runs land rows in
+    identical partitions (required by the resumable checkpoint ledger).
     """
     return triples.withColumn(
         "part",

@@ -198,16 +198,26 @@ FROM cnt
 """
 
 
-def _link_edges_cte(threshold: float = 0.5) -> str:
+def _link_edges_cte(threshold: float = 0.5, max_block: int = 1000) -> str:
     """Blocked candidate pairs over distinct (text, etype) mention
-    entities: block = (etype, first raw token); token-set jaccard."""
+    entities: block = (etype, first raw token), refined with the second
+    token when a block exceeds max_block (mirrors
+    operators/linking.py:_refine_hot_blocks); token-set jaccard."""
     return f"""
 ents AS (SELECT DISTINCT text, etype FROM mention_rows),
-ent_feats AS (
+ent_raw AS (
     SELECT text, etype,
            list_distinct(string_split(text, ' ')) AS toks,
-           etype || '#' || string_split(text, ' ')[1] AS block
+           etype || '#' || string_split(text, ' ')[1] AS block0,
+           coalesce(string_split(text, ' ')[2], '') AS tok2
     FROM ents
+),
+blk_n AS (SELECT block0, count(*) AS bn FROM ent_raw GROUP BY block0),
+ent_feats AS (
+    SELECT text, etype, toks,
+           CASE WHEN b.bn > {max_block} THEN e.block0 || '#' || e.tok2
+                ELSE e.block0 END AS block
+    FROM ent_raw e JOIN blk_n b USING (block0)
 ),
 cand AS (
     SELECT a.text AS src, b.text AS dst,
@@ -279,6 +289,39 @@ LEFT JOIN fp ON l.etype = fp.etype LEFT JOIN fn ON l.etype = fn.etype
 """
 
 
+def label_f1_macro_sql() -> str:
+    """Macro (unweighted) average of per-label P/R/F1
+    (cluener_score.py:38-49); NULL labels excluded by avg on both
+    engines."""
+    return f"""
+WITH {doc_mentions_cte()},
+pred_m AS (SELECT DISTINCT repo, path, etype, text FROM mention_rows),
+gold_m AS (
+  WITH {doc_mentions_cte(op_words=DOC_OP_WORDS_ALT, obj_words=DOC_OBJ_WORDS_ALT)}
+  SELECT DISTINCT repo, path, etype, text FROM mention_rows
+),
+tp AS (SELECT etype, count(*) AS tp FROM pred_m SEMI JOIN gold_m
+       USING (repo, path, etype, text) GROUP BY etype),
+fp AS (SELECT etype, count(*) AS fp FROM pred_m ANTI JOIN gold_m
+       USING (repo, path, etype, text) GROUP BY etype),
+fn AS (SELECT etype, count(*) AS fn FROM gold_m ANTI JOIN pred_m
+       USING (repo, path, etype, text) GROUP BY etype),
+labels AS (SELECT DISTINCT etype FROM (SELECT etype FROM pred_m UNION ALL SELECT etype FROM gold_m)),
+per AS (
+  SELECT l.etype,
+         COALESCE(tp.tp, 0) / NULLIF(COALESCE(tp.tp, 0) + COALESCE(fp.fp, 0), 0) AS p,
+         COALESCE(tp.tp, 0) / NULLIF(COALESCE(tp.tp, 0) + COALESCE(fn.fn, 0), 0) AS r
+  FROM labels l LEFT JOIN tp ON l.etype = tp.etype
+  LEFT JOIN fp ON l.etype = fp.etype LEFT JOIN fn ON l.etype = fn.etype
+)
+SELECT count(*)::BIGINT AS n_labels,
+       round(avg(p), 6) AS precision,
+       round(avg(r), 6) AS recall,
+       round(avg(2 * p * r / NULLIF(p + r, 0)), 6) AS f1
+FROM per
+"""
+
+
 def doc_triples_sql() -> str:
     """Full flagship oracle: mention triples UNION ALL CONTAINS rows."""
     return f"""
@@ -314,7 +357,10 @@ FROM h JOIN g USING (h) WHERE g.n > 1 AND h.doc_id <> g.keep_id
 """
 
 
-def _shingles_cte(k: int = 3) -> str:
+def _shingles_cte(k: int = 3, max_df: int = 1000) -> str:
+    """Shingle table + df-capped candidate blocking + exact-jaccard
+    verify (mirrors operators/dedup.py: candidates come only from
+    shingles with document frequency <= max_df; scores use full sets)."""
     return f"""
 sh AS (
     SELECT doc_id, unnest(list_distinct(
@@ -325,9 +371,21 @@ sh AS (
     WHERE len(l) >= {k}
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+block_sh AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) <= {max_df}) ok USING (shingle)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM block_sh a JOIN block_sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 inter AS (
-    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    SELECT c.a, c.b, count(*) AS ni
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.a
+    JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
     GROUP BY 1, 2
 ),
 jac_pairs AS (
@@ -336,9 +394,9 @@ jac_pairs AS (
 )"""
 
 
-def ngram_jaccard_sql(threshold: float) -> str:
+def ngram_jaccard_sql(threshold: float, max_df: int = 1000) -> str:
     return f"""
-WITH {_shingles_cte()}
+WITH {_shingles_cte(max_df=max_df)}
 SELECT a, b, round(jac, 6) AS score FROM jac_pairs WHERE jac >= {threshold}
 """
 
@@ -365,20 +423,51 @@ banded AS (
            string_agg(i || ':' || sig, '|' ORDER BY i) AS key
     FROM sig GROUP BY doc_id, band
 ),
-cand AS (
+lsh_cand AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM banded x JOIN banded y
       ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+lsh_inter AS (
+    SELECT c.a, c.b, count(*) AS ni
+    FROM lsh_cand c
+    JOIN sh x ON x.doc_id = c.a
+    JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+    GROUP BY 1, 2
 )
-SELECT c.a, c.b, round(j.jac, 6) AS score
-FROM cand c JOIN jac_pairs j ON c.a = j.a AND c.b = j.b
-WHERE j.jac >= {threshold}
+SELECT i.a, i.b,
+       round(i.ni * 1.0 / (sa.sz + sb.sz - i.ni), 6) AS score
+FROM lsh_inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+WHERE i.ni * 1.0 / (sa.sz + sb.sz - i.ni) >= {threshold}
 """
 
 
-def simhash_sql(max_distance: int, bits: int = 32) -> str:
-    h = H_SQL.format(x="tok")
-    half = bits // 2
+def simhash_sql(max_distance: int, bits: int = 64) -> str:
+    """64-bit simhash with (max_distance + 1)-block pigeonhole blocking
+    — mirrors operators/dedup.py:simhash_pairs exactly: two md5 hash
+    streams (hex 1-8 → bits 0-31, hex 9-16 → bits 32-63), bit 63 as the
+    int64 sign bit via the two's-complement INT64_MIN term, block
+    extraction (fp >> lo) & mask (mask erases shift sign extension)."""
+    from .operators.dedup import block_widths
+
+    h1 = H_SQL.format(x="tok")
+    h2 = f"(('0x' || substr(md5(tok), 9, 8))::BIGINT)"
+    widths = block_widths(bits, max_distance + 1)
+    part_selects, lo = [], 0
+    for i, w in enumerate(widths):
+        blk = f"fp >> {lo}" if lo else "fp"
+        if w < 64:  # full-width block needs no mask (and 2^64-1 overflows)
+            blk = f"(({blk}) & {(1 << w) - 1})"
+        part_selects.append(
+            f"SELECT doc_id, fp, 'b{i}:' || {blk} AS bucket FROM fp"
+        )
+        lo += w
+    parts_sql = "\n    UNION ALL\n    ".join(part_selects)
+    bit_term = (
+        "CASE WHEN v > 0 THEN "
+        "(CASE WHEN j = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (1::BIGINT << j) END) ELSE 0 END"
+    )
     return f"""
 WITH toks AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -386,19 +475,17 @@ WITH toks AS (
 ),
 votes AS (
     SELECT doc_id, j,
-           sum((({h} >> j) & 1) * 2 - 1) AS v
+           sum(((CASE WHEN j < 32 THEN {h1} >> j
+                      ELSE {h2} >> (j - 32) END) & 1) * 2 - 1) AS v
     FROM toks CROSS JOIN (SELECT unnest(range({bits})) AS j)
     GROUP BY doc_id, j
 ),
 fp AS (
-    SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+    SELECT doc_id, sum({bit_term})::BIGINT AS fp
     FROM votes GROUP BY doc_id
 ),
 parts AS (
-    SELECT doc_id, fp, 'lo:' || (fp % {1 << half}) AS bucket FROM fp
-    UNION ALL
-    SELECT doc_id, fp, 'hi:' || (fp >> {half}) AS bucket FROM fp
+    {parts_sql}
 ),
 cand AS (
     SELECT DISTINCT x.doc_id AS a, x.fp AS fa, y.doc_id AS b, y.fp AS fb
@@ -684,21 +771,47 @@ def asof_join_sql() -> str:
     temporal — events before half past match the previous hour), rate =
     cross-engine hash of the hour string.  Max event->rate gap is < 2h,
     inside the Spark operator's lookback horizon, so both formulations
-    are exact."""
+    are exact.  The left side plants duplicate rows (every 97th event
+    twice) to mirror the Spark query's duplicate-preservation check."""
     h = H_SQL.format(x="strftime(date_trunc('hour', ts), '%Y-%m-%d %H')")
     return f"""
 WITH rates AS (
     SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 30 MINUTE AS rt,
            {h} % 100 AS rate
     FROM events
+),
+ev AS (
+    SELECT event_id, ts FROM events
+    UNION ALL
+    SELECT event_id, ts FROM events WHERE event_id % 97 = 0
 )
 SELECT e.event_id, e.ts, r.rt, r.rate
-FROM events e ASOF LEFT JOIN rates r ON e.ts >= r.rt
+FROM ev e ASOF LEFT JOIN rates r ON e.ts >= r.rt
 """
 
 
-def embedding_link_sql(threshold: float = 0.5, dim: int = 16) -> str:
-    """Pooled ±1-bit-vector embeddings + cosine over blocked pairs."""
+def asof_join_keyed_sql() -> str:
+    """Per-key ASOF oracle: rates for every (event_type, hour) pair so
+    the Spark operator's lookback horizon is never exceeded."""
+    h = H_SQL.format(
+        x="event_type || '|' || strftime(h, '%Y-%m-%d %H')"
+    )
+    return f"""
+WITH rates AS (
+    SELECT event_type, h + INTERVAL 30 MINUTE AS rt, {h} % 100 AS rate
+    FROM (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+    CROSS JOIN (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id, e.event_type, e.ts, r.rt, r.rate
+FROM events e ASOF LEFT JOIN rates r
+  ON e.event_type = r.event_type AND e.ts >= r.rt
+"""
+
+
+def embedding_link_sql(threshold: float = 0.5, dim: int = 16,
+                       max_block: int = 1000) -> str:
+    """Pooled ±1-bit-vector embeddings + cosine over blocked pairs
+    (same hot-block second-token refinement as _link_edges_cte)."""
     h = H_SQL.format(x="t")
     pooled = (
         f"list_transform(range({dim}), j -> "
@@ -711,11 +824,19 @@ def embedding_link_sql(threshold: float = 0.5, dim: int = 16) -> str:
     return f"""
 WITH {doc_mentions_cte()},
 ents AS (SELECT DISTINCT text, etype FROM mention_rows),
-feat AS (
+feat0 AS (
     SELECT text, etype,
            {pooled} AS vec,
-           etype || '#' || string_split(text, ' ')[1] AS block
+           etype || '#' || string_split(text, ' ')[1] AS block0,
+           coalesce(string_split(text, ' ')[2], '') AS tok2
     FROM (SELECT *, string_split(text, ' ') AS toks FROM ents)
+),
+blk_n AS (SELECT block0, count(*) AS bn FROM feat0 GROUP BY block0),
+feat AS (
+    SELECT text, etype, vec,
+           CASE WHEN b.bn > {max_block} THEN f.block0 || '#' || f.tok2
+                ELSE f.block0 END AS block
+    FROM feat0 f JOIN blk_n b USING (block0)
 )
 SELECT a.text AS src, b.text AS dst, round({cos}, 6) AS cos
 FROM feat a JOIN feat b ON a.block = b.block AND a.text < b.text

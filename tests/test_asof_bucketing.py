@@ -28,6 +28,52 @@ def test_asof_join_picks_latest_at_or_before(spark):
     }
 
 
+def test_asof_join_preserves_duplicate_left_rows(spark):
+    """Round-2 hardening: identical left rows each produce one output
+    row (the old groupBy-over-all-left-columns merged them)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:45:00")] * 3,
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:30:00", 10.0)], "rt_s string, rate double"
+    ).select(F.col("rt_s").cast("timestamp").alias("rt"), "rate")
+    rows = asof_join(left, right).collect()
+    assert len(rows) == 3
+    assert all(r["rate"] == 10.0 for r in rows)
+
+
+def test_asof_join_duplicate_right_ts_one_deterministic_row(spark):
+    """Two right rows with the SAME timestamp: exactly one output row,
+    tie broken by max over the value columns (documented total order)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:45:00")], "event_id long, ts_s string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:30:00", 10.0), ("2024-01-01 10:30:00", 7.0)],
+        "rt_s string, rate double",
+    ).select(F.col("rt_s").cast("timestamp").alias("rt"), "rate")
+    rows = asof_join(left, right).collect()
+    assert len(rows) == 1
+    assert rows[0]["rate"] == 10.0  # max of the tied values
+
+
+def test_asof_join_keys_path(spark):
+    """Equality-keys variant: matches only within the same key."""
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:45:00"), (2, "b", "2024-01-01 10:45:00")],
+        "event_id long, k string, ts_s string",
+    ).select("event_id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:30:00", 1.0), ("b", "2024-01-01 09:30:00", 2.0)],
+        "k string, rt_s string, rate double",
+    ).select("k", F.col("rt_s").cast("timestamp").alias("rt"), "rate")
+    got = {r["event_id"]: (r["rate"], r["rt"]) for r in
+           asof_join(left, right, keys=["k"]).collect()}
+    assert got[1][0] == 1.0  # a matches a's 10:30 rate
+    assert got[2][0] == 2.0  # b matches b's 09:30 rate, not a's newer one
+
+
 def test_asof_join_lookback_horizon(spark):
     left = spark.createDataFrame(
         [(1, "2024-01-01 23:00:00")], "event_id long, ts_s string"

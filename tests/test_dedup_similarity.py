@@ -72,9 +72,80 @@ def test_minhash_lsh_finds_identical_and_near(spark, docs):
 def test_simhash_identical_docs_distance_zero(spark, docs):
     fp = {r["doc_id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
     assert fp[0] == fp[1]
-    assert 0 <= fp[0] < (1 << 32)
+    assert -(1 << 63) <= fp[0] < (1 << 63)  # 64-bit signed fingerprint
     pairs = {(r["a"], r["b"]): r["dist"] for r in simhash_pairs(docs, 0).collect()}
     assert pairs[(0, 1)] == 0
+
+
+def _fp64_py(tokens):
+    """Pure-python reference of simhash_fingerprints (unsigned form)."""
+    from ner_funtool_spark.functions.hashing import md5_int, md5_int2
+
+    votes = [0] * 64
+    for t in set(tokens):
+        h1, h2 = md5_int(t), md5_int2(t)
+        for j in range(64):
+            b = (h1 >> j) & 1 if j < 32 else (h2 >> (j - 32)) & 1
+            votes[j] += 1 if b else -1
+    return sum(1 << j for j in range(64) if votes[j] > 0)
+
+
+def test_simhash_recall_pair_missed_by_old_half_blocking(spark):
+    """Round-1 verdict fix: the old scheme (32-bit fp, two 16-bit-half
+    blocking) silently missed pairs that differ >= 1 bit in EACH half.
+    Plant exactly such a pair (tok0 swapped for swap0: Hamming distance
+    3 on the 64-bit fp, with one differing bit in each old half) and
+    assert the (d+1)-block pigeonhole blocking finds it."""
+    base = [f"tok{i}" for i in range(101)]
+    doc_a = " ".join(base)
+    doc_b = " ".join(["swap0"] + base[1:])
+    # verify the planted property against the pure-python fingerprint
+    d = _fp64_py(base) ^ _fp64_py(["swap0"] + base[1:])
+    total = bin(d).count("1")
+    assert 1 <= total <= 3
+    assert bin(d & 0xFFFF).count("1") >= 1          # old lo half differs
+    assert bin((d >> 16) & 0xFFFF).count("1") >= 1  # old hi half differs
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, "q r s t u v w z")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["dist"] for r in simhash_pairs(df, 3).collect()}
+    assert pairs.get((0, 1)) == total  # found, exact distance reported
+
+
+def test_ngram_hot_shingle_capped(spark):
+    """A shingle shared by every doc (df > max_df) must not generate
+    candidates by itself; pairs sharing a rare shingle still verify
+    against FULL sets (exact scores)."""
+    hot = "x y z"  # one hot shingle in every doc
+    rows = [(i, f"{hot} u{i} v{i} w{i}") for i in range(10)]
+    rows.append((100, f"{hot} u0 v0 w0"))  # true near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["score"]
+           for r in ngram_jaccard_pairs(df, 0.2, max_df=5, log_dropped=False).collect()}
+    # docs 1..9 overlap doc 0 ONLY through hot shingles -> not candidates
+    assert all(a == 0 and b == 100 for a, b in got)
+    # the true near-dup is found via its rare shingles, score uses full sets
+    assert got[(0, 100)] == 1.0
+    # with the cap above every df, all >=threshold pairs appear
+    uncapped = ngram_jaccard_pairs(df, 0.2, max_df=1000, log_dropped=False).count()
+    assert uncapped >= len(got)
+
+
+def test_linking_hot_block_refined(spark):
+    """A (etype, first-token) block bigger than max_block is refined by
+    the second token: candidate count stays bounded and same-tok2 pairs
+    survive."""
+    from ner_funtool_spark.operators.linking import candidate_pairs
+
+    rows = [(f"get item{i} thing{i}", "op") for i in range(30)]
+    rows += [("get alpha one", "op"), ("get alpha two", "op")]
+    ents = spark.createDataFrame(rows, "text string, etype string")
+    capped = candidate_pairs(ents, threshold=0.0, max_block=10).collect()
+    # refined blocks: only pairs sharing (etype, tok1, tok2) remain
+    assert {(r["src"], r["dst"]) for r in capped} == {("get alpha one", "get alpha two")}
+    uncapped = candidate_pairs(ents, threshold=0.0, max_block=10000).count()
+    assert uncapped == 32 * 31 // 2  # the quadratic block the cap prevents
 
 
 def _np_cosine(a, b):

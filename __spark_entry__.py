@@ -315,6 +315,66 @@ def _q_kg_mentions_cascade(spark, sf_dir):
     return m.select("repo", "path", "begin", "end", "text", "etype", "model")
 
 
+def _q_kg_mentions_neural_invariants(spark, sf_dir):
+    """Structural invariants of the neural decode path, returned as
+    VIOLATION rows — the oracle is the empty set, so the driver's
+    rows+schema+hash gate proves every invariant holds (stronger than
+    the rows-only check on kg_mentions_neural itself)."""
+    from ner_funtool_spark.config import DOC_ETYPES
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="neural")
+    checks = [
+        ("begin_nonneg", F.col("begin") < 0),
+        ("end_after_begin", F.col("end") <= F.col("begin")),
+        ("end_within_sentence", F.col("end") > F.length("sentence")),
+        (
+            "text_matches_offsets",
+            F.expr("substring(sentence, begin + 1, end - begin)") != F.col("text"),
+        ),
+        ("etype_known", ~F.col("etype").isin(*list(DOC_ETYPES))),
+        ("model_name", F.col("model") != F.lit("neural_doc_v1")),
+    ]
+    out = None
+    for cname, cond in checks:
+        v = m.filter(cond).select(
+            F.lit(cname).alias("invariant"), "repo", "path",
+            F.col("begin").alias("mbegin"), F.col("end").alias("mend"),
+        )
+        out = v if out is None else out.unionAll(v)
+    return out
+
+
+def _q_wordpiece_features(spark, sf_dir):
+    """Reference flagship encode path (run_bert_crf.py:340-433) as a
+    Spark stage: corpus-derived WordPiece vocab (broadcast), greedy
+    subword split memoized per unique word, first-piece label
+    alignment.  Rows-only driver check — greedy longest-match is not
+    SQL-expressible; semantics pinned by tests/test_wordpiece.py."""
+    from ner_funtool_spark.config import DOC_OBJ_WORDS, DOC_OP_WORDS
+    from ner_funtool_spark.operators.wordpiece_stage import (
+        build_label_map,
+        corpus_vocab,
+        wordpiece_encode,
+    )
+
+    d = _docs(spark, sf_dir)
+    vocab = corpus_vocab(d, min_freq=10)
+    label_map = build_label_map(["op", "obj"])
+    words = F.split(F.col("text"), " ")
+    labels = F.transform(
+        words,
+        lambda w: F.when(w.isin(*list(DOC_OP_WORDS)), "op")
+        .when(w.isin(*list(DOC_OBJ_WORDS)), "obj")
+        .otherwise("O"),
+    )
+    feats = wordpiece_encode(
+        d.select("doc_id", words.alias("words"), labels.alias("labels")),
+        vocab, label_map, max_len=64,
+    )
+    return feats.select("doc_id", "tokens", "input_ids", "input_mask", "label_ids")
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of enrichment with DUPLICATE left rows planted (every 97th
     event appears twice) — proves duplicates are preserved, not merged
@@ -413,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
+        "kg_mentions_neural_invariants": _q_kg_mentions_neural_invariants,
+        "wordpiece_features": _q_wordpiece_features,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "asof_join": _q_asof_join,
@@ -457,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_repo_rollup": oracles.kg_repo_rollup_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),
+        "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

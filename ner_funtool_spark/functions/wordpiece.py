@@ -150,7 +150,8 @@ def full_tokenize(text: str, vocab: dict | set, lower: bool = True) -> list[str]
 
 
 def encode_words(words: list[str], labels: list[str], vocab: dict,
-                 max_len: int, label_map: dict[str, int]) -> dict:
+                 max_len: int, label_map: dict[str, int],
+                 piece_fn=None) -> dict:
     """Word+label rows -> fixed-length id features with first-piece
     label alignment (convert_single_example semantics):
 
@@ -158,11 +159,17 @@ def encode_words(words: list[str], labels: list[str], vocab: dict,
     to max_len-2; wrap with [CLS]/[SEP] (their own label entries);
     pad ids/mask with 0.  Returns dict(tokens, input_ids, input_mask,
     label_ids, labels).
+
+    ``piece_fn``: optional word -> pieces override (the Spark stage
+    passes a per-batch memoized wordpiece so repeated identifiers are
+    split once); defaults to the plain wordpiece call.
     """
+    if piece_fn is None:
+        piece_fn = lambda w: wordpiece(w, vocab)  # noqa: E731
     toks: list[str] = []
     labs: list[str] = []
     for w, lab in zip(words, labels):
-        for k, p in enumerate(wordpiece(w, vocab)):
+        for k, p in enumerate(piece_fn(w)):
             toks.append(p)
             labs.append(lab if k == 0 else X_LABEL)
     toks = toks[: max_len - 2]

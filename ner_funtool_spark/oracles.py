@@ -790,6 +790,20 @@ FROM ev e ASOF LEFT JOIN rates r ON e.ts >= r.rt
 """
 
 
+def neural_invariants_sql() -> str:
+    """The neural-path invariants query returns VIOLATIONS; its oracle
+    is the typed empty set — a green rows+schema+hash match proves all
+    invariants hold on the full sf corpus."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS invariant,
+       CAST(NULL AS VARCHAR) AS repo,
+       CAST(NULL AS VARCHAR) AS path,
+       CAST(NULL AS INTEGER) AS mbegin,
+       CAST(NULL AS INTEGER) AS mend
+WHERE 1 = 0
+"""
+
+
 def asof_join_keyed_sql() -> str:
     """Per-key ASOF oracle: rates for every (event_type, hour) pair so
     the Spark operator's lookback horizon is never exceeded."""

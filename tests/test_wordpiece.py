@@ -80,3 +80,60 @@ def test_encode_words_truncates_to_max():
     assert len(enc["input_ids"]) == 6
     assert enc["tokens"][0] == CLS and SEP in enc["tokens"]
     assert sum(enc["input_mask"]) == 6
+
+
+# ---------------------------------------------------------------------------
+# production Spark stage (operators/wordpiece_stage.py)
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_stage_matches_pure_function(spark):
+    """The mapInPandas stage must produce exactly encode_words() per row
+    (broadcast vocab + per-batch memoization are transparent)."""
+    from ner_funtool_spark.operators.wordpiece_stage import (
+        build_label_map,
+        wordpiece_encode,
+    )
+
+    vocab = {p: i for i, p in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "load", "data", "##set", "x"]
+    )}
+    label_map = build_label_map(["op", "obj"])
+    rows = [
+        (1, ["load", "dataset"], ["op", "obj"]),   # dataset -> data ##set
+        (2, ["x", "zzz"], ["O", "O"]),             # zzz -> [UNK]
+        (3, [], []),                               # empty sentence
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, words array<string>, labels array<string>"
+    )
+    got = {r["doc_id"]: r for r in
+           wordpiece_encode(df, vocab, label_map, max_len=8).collect()}
+    for doc_id, words, labels in rows:
+        want = encode_words(words, labels, vocab, 8, label_map)
+        assert got[doc_id]["tokens"] == want["tokens"]
+        assert got[doc_id]["input_ids"] == want["input_ids"]
+        assert got[doc_id]["input_mask"] == want["input_mask"]
+        assert got[doc_id]["label_ids"] == want["label_ids"]
+    # continuation piece got X label, first piece kept the word label
+    t1 = got[1]
+    assert t1["tokens"] == ["[CLS]", "load", "data", "##set", "[SEP]"]
+    x_id = label_map["X"]
+    assert t1["label_ids"][3] == x_id
+    assert t1["label_ids"][2] == label_map["obj"]
+
+
+def test_corpus_vocab_covers_and_orders(spark):
+    """corpus_vocab: specials + char fallback + frequent tokens; any
+    lowercase-alnum word is coverable (no [UNK] explosion)."""
+    from ner_funtool_spark.operators.wordpiece_stage import corpus_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha") for i in range(5)], "doc_id long, text string"
+    )
+    v = corpus_vocab(docs, min_freq=5)
+    assert v["[PAD]"] == 0 and "[UNK]" in v
+    assert "alpha" in v        # freq 10 >= 5
+    assert "beta" in v         # freq 5 >= 5
+    assert "##z" in v and "q" in v  # char fallback pieces
+    got = wordpiece("qqq", v)  # rare word -> char pieces, never [UNK]
+    assert got == ["q", "##q", "##q"]

@@ -425,6 +425,24 @@ def _q_asof_join_keyed(spark, sf_dir):
     return out.select("event_id", "event_type", "ts", "rt", "rate")
 
 
+def _triples_edges(spark, sf_dir):
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules")
+    return t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+
+def _q_kg_degrees(spark, sf_dir):
+    from ner_funtool_spark.operators.graph import degrees
+
+    return degrees(_triples_edges(spark, sf_dir))
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    from ner_funtool_spark.operators.graph import pagerank
+
+    return pagerank(_triples_edges(spark, sf_dir))
+
+
 def _q_kg_repo_rollup(spark, sf_dir):
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
@@ -477,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_features": _q_wordpiece_features,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
+        "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
     }
@@ -517,6 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_build": oracles.vocab_build_sql(min_count=2),
         "sales_cube": oracles.sales_cube_sql(),
         "kg_repo_rollup": oracles.kg_repo_rollup_sql(),
+        "kg_degrees": oracles.kg_degrees_sql(),
+        "kg_pagerank": oracles.kg_pagerank_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),
         "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),

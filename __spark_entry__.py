@@ -210,6 +210,14 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
 
 
+def _q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.similarity import topk_lsh_multiprobe
+
+    return topk_lsh_multiprobe(
+        _embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_funtool_spark.functions import textstats as TS
 
@@ -479,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": _q_neardup_cosine,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_lsh_multiprobe": _q_ann_topk_lsh_multiprobe,
         "text_stats": _q_text_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -524,6 +533,9 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": oracles.neardup_cosine_sql(COSINE_T, _planes()),
         "ann_topk": oracles.ann_topk_sql(ANN_QUERY_MAX, ANN_K),
         "ann_topk_lsh": oracles.ann_topk_lsh_sql(ANN_QUERY_MAX, ANN_K, _planes()),
+        "ann_topk_lsh_multiprobe": oracles.ann_topk_lsh_multiprobe_sql(
+            ANN_QUERY_MAX, ANN_K, _planes()
+        ),
         "text_stats": oracles.text_stats_sql(
             _ts().LANG_MARKERS, _ts().STOPWORDS, _ts().FP_MULT, _ts().FP_MOD
         ),

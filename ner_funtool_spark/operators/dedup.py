@@ -195,10 +195,41 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
     (so the threshold is exact, LSH only prunes).
     """
     r = k // bands
-    sig = minhash_signatures(documents, text_col, id_col, k, SHINGLE_K, seed)
-    banded = sig.withColumn("band", (F.col("i") / r).cast("int")).groupBy(
-        id_col, "band"
-    ).agg(F.bit_xor(F.xxhash64("i", "sig")).alias("key"))
+    a_arr, b_arr = minhash_params(k, seed)
+    sh0 = shingles(documents, text_col, id_col).withColumn(
+        "h", md5_int_col(F.col("shingle")) % F.lit(MERSENNE_P)
+    )
+    # ONE aggregation computes all k signature mins as columns (the
+    # md5 hash is evaluated once per shingle, never exploded k-fold);
+    # band keys are then pure projections — xor of xxhash64(i, sig_i)
+    # over the band's rows, same key as the long form would build
+    wide = sh0.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(int(a_arr[i])) * F.col("h") + F.lit(int(b_arr[i])))
+                % F.lit(MERSENNE_P)
+            ).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    def band_key(b_idx: int):
+        key = None
+        for i in range(b_idx * r, (b_idx + 1) * r):
+            term = F.xxhash64(F.lit(i), F.col(f"s{i}"))
+            key = term if key is None else key.bitwiseXOR(term)
+        return key
+
+    banded = wide.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b_idx).alias("band"), band_key(b_idx).alias("key"))
+                    for b_idx in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(F.col(id_col).alias("a"), "band", "key")
     b = banded.select(F.col(id_col).alias("b"), "band", "key")
     cand = (

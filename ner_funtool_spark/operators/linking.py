@@ -37,7 +37,13 @@ def _refine_hot_blocks(e: DataFrame, raw_col: str = "raw",
     a block with quadratic pair count.  Pairs inside an oversized block
     that differ in their second token are the documented recall
     tradeoff; refined blocks are logged, never silent.
+
+    ``e`` (the distinct entity table — small relative to mentions) is
+    persisted so the logging count and the main plan share one pass of
+    the upstream pipeline; session-lifetime cache, LRU-evicted (same
+    documented tradeoff as the dedup shingle caches).
     """
+    e = e.persist()
     counts = e.groupBy("block").agg(F.count("*").alias("_bn"))
     if log_refined:
         hot = counts.filter(F.col("_bn") > max_block)

@@ -113,6 +113,42 @@ def topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int,
     )
 
 
+def topk_lsh_multiprobe(embeddings: DataFrame, query_ids: list[int], k: int,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = LSH_PLANES, seed: int = SEED) -> DataFrame:
+    """Multi-probe LSH top-k (round-2 extension): each query probes its
+    own bucket PLUS every Hamming-1 neighbor bucket (one sign flip per
+    hyperplane) — the standard recall lever that costs n_planes+1 probe
+    keys on the (tiny, broadcast) query side instead of more tables.
+    Corpus rows still carry exactly one bucket, so candidates are
+    naturally distinct; exact cosine re-ranks within the probed set.
+    """
+    planes = hyperplanes(n_planes, seed=seed)
+    e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+    )
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        probes.alias("bucket"),
+    )
+    c = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def near_duplicates_cosine(embeddings: DataFrame, threshold: float,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            n_planes: int = LSH_PLANES, seed: int = SEED,

@@ -110,8 +110,14 @@ def code_token_classes(toks: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     reference's char-class folding (data_preprocess.py:89-92) and
     BasicTokenizer feature prep — zero per-row Python.
     """
-    B, S = toks.shape
-    K = _token_categories(toks)
+    return _code_classes_from_categories(_token_categories(toks), lengths)
+
+
+def _code_classes_from_categories(K: np.ndarray,
+                                  lengths: np.ndarray) -> np.ndarray:
+    """Positional lexer rules over a category matrix — shared by the
+    string path (above) and the byte path (_code_categories_bytes)."""
+    B, S = K.shape
     p1, p2, p3 = _shift_i(K, 1), _shift_i(K, 2), _shift_i(K, 3)
     is_ident = K == _K_IDENT
     imp = lambda m: (m == _K_IMPORT) | (m == _K_FROM)  # noqa: E731
@@ -151,6 +157,54 @@ def doc_token_classes(toks: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 CLASS_FNS = {"code": (code_token_classes, CODE_ETYPES), "doc": (doc_token_classes, DOC_ETYPES)}
+
+
+# --------------------------------------------------------------------------
+# byte-path classification (no Python strings — functions/fast_tokenize.py)
+# --------------------------------------------------------------------------
+
+def _code_categories_bytes(data: np.ndarray, tok_start: np.ndarray,
+                           tok_len: np.ndarray) -> np.ndarray:
+    """Token categories straight from the UTF-8 buffer via
+    (length, 8-byte-prefix) keys — equals _token_categories on the
+    materialized strings (pytest-proven)."""
+    from ..functions.fast_tokenize import (
+        first_byte,
+        match_words,
+        prefix_keys,
+        starts_with_letter,
+    )
+
+    keys = prefix_keys(data, tok_start, tok_len)
+    K = np.zeros(keys.shape, dtype=np.int8)
+    K[match_words(keys, tok_len, KW_FUNC)] = _K_DEF
+    K[match_words(keys, tok_len, KW_CLASS)] = _K_CLASS
+    K[match_words(keys, tok_len, ("import",))] = _K_IMPORT
+    K[match_words(keys, tok_len, ("from",))] = _K_FROM
+    K[match_words(keys, tok_len, ("package",))] = _K_PKG
+    fb = first_byte(keys)
+    one = tok_len == 1
+    K[one & ((fb == ord(".")) | (fb == ord("/")))] = _K_DOT
+    K[one & (fb == ord('"'))] = _K_QUOTE
+    is_id = starts_with_letter(keys) & ~match_words(keys, tok_len, KW_ALL)
+    K[is_id] = _K_IDENT
+    return K
+
+
+def _classes_bytes(domain: str, data: np.ndarray, tok_start: np.ndarray,
+                   tok_len: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Byte-path analog of CLASS_FNS[domain][0]."""
+    from ..functions.fast_tokenize import match_words, prefix_keys
+
+    if domain == "code":
+        K = _code_categories_bytes(data, tok_start, tok_len)
+        return _code_classes_from_categories(K, lengths)
+    keys = prefix_keys(data, tok_start, tok_len)
+    cls = np.zeros(keys.shape, dtype=np.int64)
+    cls[match_words(keys, tok_len, DOC_OP_WORDS)] = 1
+    cls[match_words(keys, tok_len, DOC_OBJ_WORDS)] = 2
+    # padding slots have tok_len 0 and can never match a word
+    return cls
 
 
 # --------------------------------------------------------------------------
@@ -210,6 +264,8 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
     etypes_arr = list(etypes)
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from ..functions.fast_tokenize import padded_spans
+
         trans_c, start_c, end_c = bmes_transitions(n_types)
         neural = None
         for rb in batches:
@@ -217,29 +273,48 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 continue
             enc = pa.compute.dictionary_encode(rb.column(sent_idx))
             codes = enc.indices.to_numpy(zero_copy_only=False)
-            uniques = enc.dictionary.to_pylist()
-            utoks, utb, ute, ulens = _tokenize_unique(uniques, max_len)
-            toks, tb, te, lens = utoks[codes], utb[codes], ute[codes], ulens[codes]
-            if mode == "rules":
-                cls = class_fn(toks, lens)
+            fast = padded_spans(enc.dictionary, max_len) if mode == "rules" else None
+            if fast is not None:
+                # byte path: token spans, classes and mention texts all
+                # come from the Arrow buffer — zero Python strings per
+                # token (the 8->32 scaling lever, BENCH r1 analysis)
+                data, offs, utb, ute, ulens, tstart, tlen = fast
+                ucls = _classes_bytes(domain, data, tstart, tlen, ulens)
+                cls, tb, te, lens = ucls[codes], utb[codes], ute[codes], ulens[codes]
                 em = class_emissions(cls, n_types)
                 tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
-            elif mode in ("neural", "cascade"):
-                if neural is None:
-                    neural = SeededBiLSTM(
-                        NEURAL_VOCAB, 1 + 4 * n_types,
-                        n_attr=n_types + 1, seed=seed,
-                    )
-                ids = _ids_from_tokens(toks)
-                tags = _neural_decode(neural, ids, lens, n_types, mode)
+                uniques = None
             else:
-                raise ValueError(mode)
+                uniques = enc.dictionary.to_pylist()
+                utoks, utb, ute, ulens = _tokenize_unique(uniques, max_len)
+                toks, tb, te, lens = utoks[codes], utb[codes], ute[codes], ulens[codes]
+                if mode == "rules":
+                    cls = class_fn(toks, lens)
+                    em = class_emissions(cls, n_types)
+                    tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
+                elif mode in ("neural", "cascade"):
+                    if neural is None:
+                        neural = SeededBiLSTM(
+                            NEURAL_VOCAB, 1 + 4 * n_types,
+                            n_attr=n_types + 1, seed=seed,
+                        )
+                    ids = _ids_from_tokens(toks)
+                    tags = _neural_decode(neural, ids, lens, n_types, mode)
+                else:
+                    raise ValueError(mode)
             m = extract_mentions_arrays(tags, tb, te, lens)
             if len(m["row"]) == 0:
                 continue
             rows_idx = pa.array(m["row"])
-            sent_lookup = np.asarray(uniques, dtype=object)[codes[m["row"]]]
-            texts = [s[b:e] for s, b, e in zip(sent_lookup, m["begin"], m["end"])]
+            if uniques is None:
+                base = offs[codes[m["row"]]]
+                texts = [
+                    data[s:e].tobytes().decode("ascii")
+                    for s, e in zip(base + m["begin"], base + m["end"])
+                ]
+            else:
+                sent_lookup = np.asarray(uniques, dtype=object)[codes[m["row"]]]
+                texts = [s[b:e] for s, b, e in zip(sent_lookup, m["begin"], m["end"])]
             arrays = [rb.column(i).take(rows_idx) for i in range(rb.num_columns)]
             arrays += [
                 pa.array(m["begin"], type=pa.int32()),

@@ -572,6 +572,36 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_topk_lsh_multiprobe_sql(query_max_id: int, k: int,
+                                planes: list[list[float]],
+                                dim: int = 64) -> str:
+    """Multi-probe LSH: the query side probes its bucket plus every
+    one-bit flip (mirrors operators/similarity.py:topk_lsh_multiprobe)."""
+    n_planes = len(planes)
+    cos = _cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+WITH {_lsh_bucket_cte(planes, dim)},
+probes AS (
+    SELECT vec_id, embedding,
+           CASE WHEN j = {n_planes} THEN bucket
+                ELSE xor(bucket, (1::BIGINT << j)) END AS bucket
+    FROM bucketed CROSS JOIN (SELECT unnest(range({n_planes + 1})) AS j)
+    WHERE vec_id < {query_max_id}
+),
+ranked AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({cos}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+    FROM probes q JOIN bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def text_stats_sql(markers: dict, stopwords, fp_mult: int, fp_mod: int) -> str:
     marker_values = ", ".join(
         "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in ws))

@@ -480,3 +480,96 @@ def split_tagged_sentences(df: DataFrame, id_col: str = "line_id",
             F.exists("tags", lambda t: t != "O")
         )
     return sents
+
+
+# ---------------------------------------------------------------------------
+# S16: char-embedding text-file ingestion (data_preprocess.py:163-213)
+# ---------------------------------------------------------------------------
+
+EMB_SPECIALS = ("<PAD>", "<UNK>", "<CLS>", "<SEP>", "<MASK>", "<NUM>", "<ENG>")
+
+
+def gen_char_embedding(spark: SparkSession, raw_embedding_path: str,
+                       seed: int | None = None) -> DataFrame:
+    """Parse a ``char v1 .. vd`` text embedding file into a vocab +
+    vector table (S16, gen_char_embedding data_preprocess.py:163-213).
+
+    Faithful rules: the 7 special tokens head the vocab in the
+    reference's order, file rows follow in FILE ORDER; rows whose char
+    is a literal space are skipped; ``<PAD>`` backfills as the zero
+    vector; other missing specials get normal(0,1) vectors.  One
+    documented divergence: the reference's backfill is unseeded
+    np.random — here it is seeded (config.SEED by default) so re-runs
+    are byte-identical (the engine's determinism invariant).
+
+    Returns (ch, id, vector array<double>) with dense ids matching the
+    vocab file the reference writes.  The file is a bounded dimension
+    (like S7/S8 dict loads): per-special backfill decisions use one
+    small driver-side aggregate, then everything stays a DataFrame.
+    """
+    import numpy as np
+
+    from ..config import SEED
+
+    lines = _ordered_lines(spark, raw_embedding_path)
+    parts = F.split(F.col("value"), " ")
+    parsed = (
+        lines.select(
+            "fid",
+            F.element_at(parts, 1).alias("ch"),
+            F.transform(
+                F.filter(F.slice(parts, 2, F.size(parts) - 1), lambda x: x != ""),
+                lambda x: x.cast("double"),
+            ).alias("vector"),
+        )
+        # a literal-space char row splits to a leading '' element; the
+        # reference's `char != ' '` guard intends to skip it — both
+        # forms are skipped here (the '' row would crash float() there)
+        .filter(~F.col("ch").isin("", " "))
+    )
+    # bounded metadata: embedding dim + which specials the file covers
+    head = parsed.select(
+        F.size("vector").alias("dim"), F.col("ch")
+    )
+    dim = head.first()["dim"]
+    present = {
+        r["ch"] for r in parsed.filter(F.col("ch").isin(*EMB_SPECIALS))
+        .select("ch").distinct().collect()
+    }
+    rng = np.random.RandomState(SEED if seed is None else seed)
+    fill_rows = []
+    for sp in EMB_SPECIALS:
+        if sp in present:
+            continue
+        if sp == "<PAD>":
+            vec = [0.0] * dim
+        else:
+            vec = [float(v) for v in rng.normal(0.0, 1.0, size=dim)]
+        fill_rows.append((sp, vec))
+    fills = spark.createDataFrame(fill_rows, "ch string, vector array<double>") \
+        if fill_rows else None
+
+    # vocab order: specials first (reference order), then file order
+    order = {sp: i for i, sp in enumerate(EMB_SPECIALS)}
+    spec_rank = F.coalesce(
+        *[F.when(F.col("ch") == sp, F.lit(order[sp])) for sp in EMB_SPECIALS],
+        F.lit(len(EMB_SPECIALS)),
+    )
+    file_rows = parsed.filter(~F.col("ch").isin(*EMB_SPECIALS)).select(
+        F.lit(len(EMB_SPECIALS)).alias("rank"), "fid", "ch", "vector"
+    )
+    spec_file = parsed.filter(F.col("ch").isin(*EMB_SPECIALS)).select(
+        spec_rank.alias("rank"), F.lit(-1).cast("long").alias("fid"), "ch", "vector"
+    )
+    all_rows = spec_file.unionByName(file_rows)
+    if fills is not None:
+        all_rows = all_rows.unionByName(
+            fills.select(
+                spec_rank.alias("rank"), F.lit(-1).cast("long").alias("fid"),
+                "ch", "vector",
+            )
+        )
+    w = Window.orderBy("rank", "fid", "ch")
+    return all_rows.select(
+        "ch", (F.row_number().over(w) - 1).alias("id"), "vector"
+    )

@@ -142,3 +142,33 @@ def test_dict_broadcast(spark, tsv):
     b = load_dict_broadcast(spark, d, "tag", "id")
     assert b.value["O"] == 0
     b.unpersist()
+
+
+def test_gen_char_embedding_parse_and_backfill(spark, tmp_path):
+    """S16 (data_preprocess.py:163-213): specials head the vocab in
+    reference order, file rows follow in file order, <PAD> backfills
+    zeros, other missing specials get seeded-normal vectors (the
+    documented determinism divergence), space-char rows are skipped."""
+    from ner_funtool_spark.sources.corpus import EMB_SPECIALS, gen_char_embedding
+
+    raw = tmp_path / "raw_emb.txt"
+    raw.write_text(
+        "我 0.1 0.2 0.3\n"
+        "<UNK> 1.0 1.0 1.0\n"   # a special present in the file keeps its vector
+        "  9.0 9.0 9.0\n"        # space char -> skipped
+        "你 0.4 0.5 0.6\n",
+        encoding="utf-8",
+    )
+    out = gen_char_embedding(spark, str(raw)).collect()
+    by_ch = {r["ch"]: r for r in out}
+    by_id = {r["id"]: r["ch"] for r in out}
+    # vocab order: 7 specials then file chars
+    assert [by_id[i] for i in range(9)] == list(EMB_SPECIALS) + ["我", "你"]
+    assert by_ch["<PAD>"]["vector"] == [0.0, 0.0, 0.0]
+    assert by_ch["<UNK>"]["vector"] == [1.0, 1.0, 1.0]   # from file, not backfill
+    assert by_ch["我"]["vector"] == [0.1, 0.2, 0.3]
+    assert " " not in by_ch
+    assert len(by_ch["<MASK>"]["vector"]) == 3           # dim from the file
+    # deterministic backfill
+    again = {r["ch"]: r["vector"] for r in gen_char_embedding(spark, str(raw)).collect()}
+    assert again["<CLS>"] == by_ch["<CLS>"]["vector"]

@@ -182,6 +182,23 @@ def test_topk_lsh_near_dup_found(spark, vecs):
     assert any(r["neighbor_id"] == 1 for r in got)
 
 
+def test_topk_lsh_multiprobe_recall_dominates_single(spark, vecs):
+    """Multi-probe candidates are a strict superset (own bucket + every
+    1-bit flip), so recall vs brute force can only improve."""
+    from ner_funtool_spark.operators.similarity import topk_lsh_multiprobe
+
+    df, _ = vecs
+    queries = list(range(4))
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in topk_bruteforce(df, queries, 3).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in topk_lsh(df, queries, 3).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in topk_lsh_multiprobe(df, queries, 3).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert any(q == 0 and n == 1 for q, n in multi)  # planted twin found
+
+
 def test_neardup_cosine_exact_vs_lsh(spark, vecs):
     df, _ = vecs
     exact = {(r["a"], r["b"]) for r in near_duplicates_cosine(df, 0.9, exact=True).collect()}

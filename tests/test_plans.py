@@ -99,3 +99,60 @@ def test_plan_kg_pipeline_prunes_scan_columns(spark):
     plan = _plan(t.select("subj", "pred", "obj"))
     # n_chars is never used -> must not be read from parquet
     assert "n_chars" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_plan_simhash_no_cartesian(spark):
+    """Simhash pairs must plan as an equi hash join on the pigeonhole
+    bucket — never BroadcastNestedLoop/Cartesian."""
+    from ner_funtool_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash_pairs(docs, 3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_minhash_single_signature_aggregate(spark):
+    """The fused minhash path computes all k signature mins in ONE
+    aggregation over the shingle table — no param-table crossJoin
+    explode (round-2 rewrite)."""
+    from ner_funtool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs, 0.1))
+    assert "CartesianProduct" not in plan
+    # the old plan had a 16-row params BroadcastNestedLoopJoin
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_asof_join_equi_only(spark):
+    """The as-of join must stay an equi join on the bucket key (plus
+    a post-filter) — no range/theta join node."""
+    from pyspark.sql import functions as F
+
+    from ner_funtool_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rates = ev.select(
+        F.date_trunc("hour", "ts").alias("rt"), F.lit(1.0).alias("rate")
+    ).distinct()
+    plan = _plan(asof_join(ev.select("event_id", "ts"), rates))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_pagerank_constant_depth(spark):
+    """localCheckpoint per iteration keeps the final plan depth bounded
+    (lineage does not grow with iteration count)."""
+    from pyspark.sql import functions as F
+
+    from ner_funtool_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    p2 = pagerank(edges, iterations=2)
+    p6 = pagerank(edges, iterations=6)
+    # depth measured as plan-string line count: must not scale ~3x
+    d2, d6 = len(_plan(p2).splitlines()), len(_plan(p6).splitlines())
+    assert d6 <= d2 + 5, (d2, d6)

@@ -7,13 +7,15 @@ Methodology:
 * the synthetic source table is STAGED to parquet once; the timed job
   is the production shape — columnar scan -> segment -> Arrow CRF
   tagging -> mentions -> triples -> count — not the data generator;
-* each configuration runs in a fresh JVM (subprocess), warmed, and is
-  repeated; the MINIMUM wall is used (the host is a shared vCPU box
-  with visible steal-time spikes — min is the low-noise estimator);
+* each configuration launches EXACTLY as the north_rule specifies —
+  ``spark-submit --master local[N] --py-files <pkg.zip> job.py`` — a
+  fresh JVM per run, warmed, and repeated; the MINIMUM wall is used
+  (the host is a shared vCPU box with visible steal-time spikes — min
+  is the low-noise estimator);
 * configurations are interleaved (lo, hi, lo, hi) so host noise cannot
   systematically favor one side.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Prints one JSON line; BENCH/BASELINE.md records the curated results.
 
 Usage: python tools/scaling_bench.py [n_files] [lo_cores] [hi_cores] [reps]
 """
@@ -66,13 +68,39 @@ def stage(n_files: int) -> str:
     return STAGE_DIR
 
 
+PKG_ZIP = "/tmp/nfs_scaling_pkg.zip"
+JOB_FILE = "/tmp/nfs_scaling_job.py"
+
+
+def _prepare_submit() -> None:
+    """Package the library once and write the job file — the job then
+    launches exactly as the north_rule specifies: ``spark-submit
+    --py-files <pkg.zip> job.py`` at each parallelism level."""
+    if os.path.exists(PKG_ZIP):
+        os.remove(PKG_ZIP)
+    subprocess.run(
+        ["zip", "-qr", PKG_ZIP, "ner_funtool_spark"], check=True, cwd=REPO
+    )
+    # under spark-submit the package rides in via --py-files, not sys.path
+    with open(JOB_FILE, "w") as f:
+        f.write(JOB.replace('sys.path.insert(0, "__REPO__")\n', ""))
+
+
 def run(cores: int, path: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", JOB.replace("__REPO__", REPO), str(cores), path],
-        capture_output=True, text=True, timeout=1800, cwd=REPO,
+        [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "16g"),
+            "--py-files", PKG_ZIP,
+            JOB_FILE, str(cores), path,
+        ],
+        capture_output=True, text=True, timeout=1800, cwd="/tmp",
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -81,6 +109,7 @@ def main() -> None:
     hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     path = stage(n_files)
+    _prepare_submit()
     lo_runs, hi_runs = [], []
     for _ in range(reps):
         lo_runs.append(run(lo_cores, path))

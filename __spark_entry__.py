@@ -210,6 +210,12 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_funtool_spark.operators.similarity import topk_ivf
+
+    return topk_ivf(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
+
+
 def _q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_funtool_spark.operators.similarity import topk_lsh_multiprobe
 
@@ -451,6 +457,28 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(_triples_edges(spark, sf_dir))
 
 
+def _q_triples_upsert(spark, sf_dir):
+    """Incremental KG maintenance: re-emitted triples (updated content,
+    newer version) for 1-in-5 docs MERGE into the existing store —
+    matched keys take the newest version, the rest pass through."""
+    from ner_funtool_spark.operators.upsert import upsert_triples
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules")
+    base = t.select(
+        "subj", "pred", "obj", "repo", "content_sha",
+        F.regexp_extract(F.col("provenance.path"), r"docs/(\d+)\.txt", 1)
+        .cast("long").alias("doc_id"),
+    )
+    existing = base.drop("doc_id").withColumn("commit", F.lit("v1"))
+    incoming = (
+        base.filter(F.col("doc_id") % 5 == 0).drop("doc_id")
+        .withColumn("content_sha", F.concat(F.lit("new:"), F.col("content_sha")))
+        .withColumn("commit", F.lit("v2"))
+    )
+    return upsert_triples(existing, incoming)
+
+
 def _q_kg_repo_rollup(spark, sf_dir):
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
@@ -488,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_lsh_multiprobe": _q_ann_topk_lsh_multiprobe,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "text_stats": _q_text_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -506,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_repo_rollup": _q_kg_repo_rollup,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
+        "triples_upsert": _q_triples_upsert,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
     }
@@ -536,6 +566,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh_multiprobe": oracles.ann_topk_lsh_multiprobe_sql(
             ANN_QUERY_MAX, ANN_K, _planes()
         ),
+        "ann_topk_ivf": oracles.ann_topk_ivf_sql(
+            ANN_QUERY_MAX, ANN_K, _ivf_centroids(), _ivf_nprobe()
+        ),
         "text_stats": oracles.text_stats_sql(
             _ts().LANG_MARKERS, _ts().STOPWORDS, _ts().FP_MULT, _ts().FP_MOD
         ),
@@ -551,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_repo_rollup": oracles.kg_repo_rollup_sql(),
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),
+        "triples_upsert": oracles.triples_upsert_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),
         "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),
@@ -572,3 +606,15 @@ def _ts():
     from ner_funtool_spark.functions import textstats
 
     return textstats
+
+
+def _ivf_centroids():
+    from ner_funtool_spark.operators.similarity import seeded_centroids
+
+    return seeded_centroids()
+
+
+def _ivf_nprobe():
+    from ner_funtool_spark.operators.similarity import IVF_NPROBE
+
+    return IVF_NPROBE

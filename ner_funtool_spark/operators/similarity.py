@@ -149,6 +149,117 @@ def topk_lsh_multiprobe(embeddings: DataFrame, query_ids: list[int], k: int,
     )
 
 
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def seeded_centroids(n: int = IVF_CENTROIDS, dim: int = EMBED_DIM,
+                     seed: int = SEED) -> list[list[float]]:
+    """Deterministic coarse-quantizer anchors (rounded so the DuckDB
+    oracle embeds exactly the same literals).  A trained k-means
+    centroid table (kmeans_centroids) is a drop-in replacement — the
+    driver query uses seeded anchors because the oracle must be
+    expressible without running the trainer."""
+    rng = np.random.RandomState(seed + 13)
+    h = rng.randn(n, dim)
+    return [[round(float(v), 6) for v in row] for row in h]
+
+
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>",
+    )
+
+
+def assign_clusters(embeddings: DataFrame, centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nprobe: int = 1) -> DataFrame:
+    """(id, vec, cid, probe_rank): each vector's ``nprobe`` nearest
+    centroids by cosine (rank 1 = the IVF list it belongs to).
+    The centroid table is tiny -> broadcast crossJoin + per-row window;
+    ties break by cid ascending (deterministic, oracle-mirrored)."""
+    spark = embeddings.sparkSession
+    cent = _centroid_df(spark, centroids)
+    scored = embeddings.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, vec_col, "cid", "probe_rank")
+    )
+
+
+def topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid
+    list (one cluster each); a query probes its ``nprobe`` nearest
+    lists and re-ranks exactly inside them.  The scale path next to
+    LSH: cluster-sized candidate sets, equi-join on cid, and the
+    centroid table is the only broadcast state."""
+    if centroids is None:
+        centroids = seeded_centroids()
+    corpus = assign_clusters(embeddings, centroids, id_col, vec_col, nprobe=1)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cid"
+    )
+    q = assign_clusters(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        centroids, id_col, vec_col, nprobe=nprobe,
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid")
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def kmeans_centroids(embeddings: DataFrame, n_clusters: int = IVF_CENTROIDS,
+                     iterations: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Distributed Lloyd's k-means (cosine assignment, mean update) —
+    the trainer behind topk_ivf for real corpora.
+
+    Deterministic: init = the ``n_clusters`` lowest-id vectors; each
+    iteration is one broadcast crossJoin assignment + one element-wise
+    mean (posexplode + groupBy(cid, pos)); the k x dim centroid table
+    collects to the driver per iteration (it is broadcast state, not
+    data).  Empty clusters keep their previous centroid."""
+    first = embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    centroids = [[float(v) for v in r[vec_col]] for r in first]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = assign_clusters(embeddings, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("xs"))
+            .select("cid", F.transform("xs", lambda x: x["m"]).alias("cvec"))
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            vec = [float(v) for v in r["cvec"]]
+            if len(vec) == dim:
+                new[r["cid"]] = vec
+        centroids = new
+    return centroids
+
+
 def near_duplicates_cosine(embeddings: DataFrame, threshold: float,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            n_planes: int = LSH_PLANES, seed: int = SEED,

@@ -602,6 +602,47 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_topk_ivf_sql(query_max_id: int, k: int,
+                     centroids: list[list[float]], nprobe: int,
+                     dim: int = 64) -> str:
+    """IVF oracle: corpus in its argmax-cosine centroid list, query
+    probes its nprobe nearest lists (mirrors similarity.topk_ivf with
+    the same centroid literals and cid-ascending tie-break)."""
+    values = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(centroids)
+    )
+    ccos = _cosine_sql("e.embedding", "c.vec", dim)
+    cos = _cosine_sql("q.qemb", "c.embedding", dim)
+    return f"""
+WITH cents(cid, vec) AS (VALUES {values}),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid, {ccos} AS ccos
+    FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+    FROM scored
+),
+corpus AS (SELECT vec_id AS neighbor_id, embedding, cid FROM ranked WHERE pr = 1),
+qprobe AS (
+    SELECT vec_id AS query_id, embedding AS qemb, cid
+    FROM ranked WHERE pr <= {nprobe} AND vec_id < {query_max_id}
+),
+rr AS (
+    SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {cos} DESC, c.neighbor_id ASC) AS rank
+    FROM qprobe q JOIN corpus c
+      ON q.cid = c.cid AND q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM rr WHERE rank <= {k}
+"""
+
+
 def text_stats_sql(markers: dict, stopwords, fp_mult: int, fp_mod: int) -> str:
     marker_values = ", ".join(
         "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in ws))
@@ -951,6 +992,58 @@ deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
 pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN ncount nn),
 {",".join(iters)}
 SELECT node, round(pr, 6) AS pr FROM pr{iterations}
+"""
+
+
+def triples_upsert_sql() -> str:
+    """MERGE-INTO-shaped upsert oracle (mirrors operators/upsert.py):
+    existing = flagship triples at version v1; incoming = re-emitted
+    triples (updated content sha, version v2) for docs whose id is
+    divisible by 5; matched keys take the newest struct(commit, repo,
+    content_sha), untouched rows pass through."""
+    return f"""
+WITH {doc_mentions_cte()},
+doc_sha AS (
+    SELECT doc_id, 'docs/' || doc_id || '.txt' AS path, source AS repo,
+           sha256(text) AS content_sha
+    FROM documents
+),
+base AS (
+    SELECT m.repo || '/' || m.path AS subj,
+           CASE m.etype WHEN 'op' THEN 'MENTIONS_OP' ELSE 'MENTIONS_OBJ' END AS pred,
+           m.text AS obj, m.repo AS repo, d.content_sha, d.doc_id
+    FROM mention_rows m JOIN doc_sha d ON m.path = d.path AND m.repo = d.repo
+    UNION ALL
+    SELECT repo AS subj, 'CONTAINS' AS pred, repo || '/' || path AS obj,
+           repo, content_sha, doc_id
+    FROM doc_sha
+),
+existing AS (
+    SELECT subj, pred, obj, repo, content_sha, 'v1' AS commit FROM base
+),
+incoming AS (
+    SELECT subj, pred, obj, repo, 'new:' || content_sha AS content_sha,
+           'v2' AS commit
+    FROM base WHERE doc_id % 5 = 0
+),
+inc_keys AS (SELECT DISTINCT subj, pred, obj FROM incoming),
+untouched AS (
+    SELECT e.* FROM existing e ANTI JOIN inc_keys USING (subj, pred, obj)
+),
+touched AS (
+    SELECT e.* FROM existing e SEMI JOIN inc_keys USING (subj, pred, obj)
+    UNION ALL SELECT * FROM incoming
+),
+resolved AS (
+    SELECT subj, pred, obj,
+           (mx).repo AS repo, (mx).content_sha AS content_sha,
+           (mx).commit AS commit
+    FROM (SELECT subj, pred, obj,
+                 max(struct_pack(commit := commit, repo := repo,
+                                 content_sha := content_sha)) AS mx
+          FROM touched GROUP BY subj, pred, obj)
+)
+SELECT * FROM untouched UNION ALL SELECT * FROM resolved
 """
 
 

@@ -258,3 +258,47 @@ def test_real_decode_is_gated(spark):
     if not mm.HAS_PIL:
         with pytest.raises(NotImplementedError):
             mm.decode_image_real(b"xx")
+
+
+def _np_lloyds(X, k, iterations):
+    """numpy reference of kmeans_centroids: cosine assignment with
+    cid-ascending tie-break, mean update, init = first k rows."""
+    C = X[:k].copy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for _ in range(iterations):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        sims = Xn @ Cn.T
+        assign = np.argmax(sims, axis=1)  # argmax takes lowest index on ties
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C, assign
+
+
+def test_kmeans_centroids_matches_numpy(spark):
+    from ner_funtool_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(11)
+    X = (rng.randn(40, 8) + np.repeat(np.eye(8)[:4] * 5, 10, axis=0)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = np.array(kmeans_centroids(df, n_clusters=4, iterations=3))
+    want, _ = _np_lloyds(X, 4, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_topk_ivf_same_cluster_recall(spark, vecs):
+    """Vectors designed to share a cluster must be found; results are a
+    valid (scored, ranked) subset of brute force."""
+    from ner_funtool_spark.operators.similarity import topk_ivf
+
+    df, base = vecs
+    got = topk_ivf(df, [0], 3).collect()
+    # the 0.01-perturbed twin of vec 0 lands in the same IVF list
+    assert any(r["neighbor_id"] == 1 for r in got)
+    exact = {(r["neighbor_id"], r["score"])
+             for r in topk_bruteforce(df, [0], 7).collect()}
+    assert {(r["neighbor_id"], r["score"]) for r in got} <= exact

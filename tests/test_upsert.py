@@ -1,0 +1,60 @@
+"""MERGE-INTO-shaped triples upsert semantics."""
+
+from __future__ import annotations
+
+from ner_funtool_spark.operators.upsert import latest_per_key, upsert_triples
+
+SCHEMA = "subj string, pred string, obj string, repo string, content_sha string, commit string"
+
+
+def test_latest_per_key_version_and_tie_break(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "P", "x", "r1", "s1", "v1"),
+            ("a", "P", "x", "r1", "s2", "v2"),   # newer version wins
+            ("b", "P", "y", "r1", "s3", "v1"),
+            ("b", "P", "y", "r1", "s9", "v1"),   # tie on version -> max value tuple
+        ],
+        SCHEMA,
+    )
+    got = {(r["subj"], r["obj"]): (r["commit"], r["content_sha"])
+           for r in latest_per_key(df).collect()}
+    assert got[("a", "x")] == ("v2", "s2")
+    assert got[("b", "y")] == ("v1", "s9")
+
+
+def test_upsert_touches_only_matched_keys(spark):
+    existing = spark.createDataFrame(
+        [
+            ("a", "P", "x", "r1", "s1", "v1"),
+            ("b", "P", "y", "r1", "s2", "v1"),
+            ("c", "P", "z", "r1", "s3", "v1"),
+        ],
+        SCHEMA,
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("a", "P", "x", "r1", "s1new", "v2"),   # update
+            ("d", "P", "w", "r1", "s4", "v2"),      # insert
+        ],
+        SCHEMA,
+    )
+    got = {r["subj"]: (r["commit"], r["content_sha"])
+           for r in upsert_triples(existing, incoming).collect()}
+    assert got["a"] == ("v2", "s1new")
+    assert got["b"] == ("v1", "s2")      # untouched pass-through
+    assert got["c"] == ("v1", "s3")
+    assert got["d"] == ("v2", "s4")      # new key inserted
+    assert len(got) == 4
+
+
+def test_upsert_older_incoming_does_not_regress(spark):
+    existing = spark.createDataFrame(
+        [("a", "P", "x", "r1", "s2", "v2")], SCHEMA
+    )
+    incoming = spark.createDataFrame(
+        [("a", "P", "x", "r1", "s1", "v1")], SCHEMA
+    )
+    rows = upsert_triples(existing, incoming).collect()
+    assert len(rows) == 1
+    assert rows[0]["commit"] == "v2"     # store already newer: kept

@@ -98,7 +98,8 @@ def running_type_counts(events: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state):
         (etype,) = key
-        n, total = state.get() if state.exists else (0, 0.0)
+        # GroupState.get is a PROPERTY in pyspark (raises if absent)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -115,6 +116,77 @@ def running_type_counts(events: DataFrame) -> DataFrame:
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-sessionization as a CUSTOM stateful operator
+    (applyInPandasWithState + EventTimeTimeout) — the arbitrary-state
+    analog of ``sessionize_batch``.
+
+    Per user: events extend the open session while the gap stays
+    within ``gap_minutes``; a larger gap CLOSES the session (emitted
+    with user_id, n_events, t_start, t_end) and opens a new one.  The
+    open session is emitted when the event-time watermark passes its
+    end + gap (timeout eviction), so state size is bounded by the
+    number of concurrently active users — the property that matters at
+    scale.  Exactness condition (documented): events must arrive
+    time-ordered per user across micro-batches (late-but-in-watermark
+    reordering merges conservatively); the pytest proves closed-session
+    equality with the batch formulation on an ordered stream.
+    """
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+
+    def out(uid, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sessions),
+                "n_events": [s[0] for s in sessions],
+                "t_start": [s[1] for s in sessions],
+                "t_end": [s[2] for s in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            n, t0, t1 = state.get  # property, raises if absent
+            state.remove()
+            yield out(uid, [(n, t0, t1)])
+            return
+        cur = state.get if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                if cur is None:
+                    cur = (1, ts, ts)
+                elif (ts - cur[2]).total_seconds() > gap_s:
+                    closed.append(cur)
+                    cur = (1, ts, ts)
+                else:
+                    cur = (cur[0] + 1, cur[1], max(cur[2], ts))
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(
+                int(cur[2].timestamp() * 1000) + gap_s * 1000
+            )
+        if closed:
+            yield out(uid, closed)
+
+    e = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id bigint, n_events long, t_start timestamp, t_end timestamp"
+        ),
+        stateStructType="n long, t0 timestamp, t1 timestamp",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
     )
 
 

@@ -60,12 +60,16 @@ def test_stream_mentions_foreachbatch(spark, stream_dirs):
     assert total == want and want > 0
 
 
-def test_stateful_running_counts(spark, stream_dirs):
-    """applyInPandasWithState running counters: final state must equal
+def test_stateful_running_counts(spark, stream_dirs, tmp_path):
+    """applyInPandasWithState running counters across MULTIPLE
+    micro-batches (state re-entry exercised): final state must equal
     the batch groupBy over the same data."""
     from ner_funtool_spark.streaming.stream import running_type_counts
 
-    stream = read_events_stream(spark, f"{stream_dirs}/events")
+    # split into several files so maxFilesPerTrigger=1 yields >1 batch
+    multi = str(tmp_path / "events_multi")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.parquet(multi)
+    stream = read_events_stream(spark, multi)
     q = run_stream_to_memory(running_type_counts(stream), "rtc", output_mode="update")
     try:
         got = {
@@ -169,3 +173,62 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize_batch(df, gap_minutes=30).collect()
     }
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_stateful_closed_sessions_equal_batch(spark, tmp_path):
+    """Streaming stateful sessionization (applyInPandasWithState +
+    EventTimeTimeout) must emit exactly the batch formulation's CLOSED
+    sessions when events arrive time-ordered; each user's final open
+    session stays in state (would emit on timeout in a live stream)."""
+    import os
+
+    from ner_funtool_spark.streaming.stream import (
+        sessionize_batch,
+        sessionize_stateful,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    # ordered finite stream: chunk by time so per-user order holds
+    src = tmp_path / "sessionsrc"
+    src.mkdir()
+    chunks = ev.orderBy("ts").coalesce(1).withColumn(
+        "chunk", (F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("ts")) / 500).cast("int"),
+    )
+    pdf = chunks.toPandas()
+    for c, grp in pdf.groupby("chunk"):
+        grp[["user_id", "ts"]].to_parquet(
+            src / f"part_{c:04d}.parquet",
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_stream_to_memory(
+        sessionize_stateful(stream, gap_minutes=30), "sess_state",
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["t_start"], r["t_end"], r["n_events"])
+        for r in spark.table("sess_state").collect()
+    }
+    batch = sessionize_batch(ev, gap_minutes=30).collect()
+    # each user's LAST session may still be open in state
+    last = {}
+    for r in batch:
+        key = r["user_id"]
+        if key not in last or r["session_id"] > last[key]:
+            last[key] = r["session_id"]
+    want_closed = {
+        (r["user_id"], r["t_start"], r["t_end"], r["n_events"])
+        for r in batch if r["session_id"] != last[r["user_id"]]
+    }
+    assert want_closed <= got
+    # nothing emitted that the batch result doesn't contain
+    want_all = {
+        (r["user_id"], r["t_start"], r["t_end"], r["n_events"]) for r in batch
+    }
+    assert got <= want_all

@@ -457,6 +457,18 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(_triples_edges(spark, sf_dir))
 
 
+def _q_kg_canonical_triples(spark, sf_dir):
+    """The FULL north_star dataflow as one oracle-checked query:
+    mentions -> blocked linking -> connected-components canonical ids
+    -> canonical triples + SAME_AS surface-form edges + CONTAINS."""
+    from ner_funtool_spark.plans.kg import build_canonical_triples
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_canonical_triples(src, domain="doc", mode="rules",
+                                link_threshold=0.5)
+    return t.select("subj", "pred", "obj", "repo", "content_sha")
+
+
 def _q_triples_upsert(spark, sf_dir):
     """Incremental KG maintenance: re-emitted triples (updated content,
     newer version) for 1-in-5 docs MERGE into the existing store —
@@ -536,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "triples_upsert": _q_triples_upsert,
+        "kg_canonical_triples": _q_kg_canonical_triples,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
     }
@@ -585,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),
         "triples_upsert": oracles.triples_upsert_sql(),
+        "kg_canonical_triples": oracles.kg_canonical_triples_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),
         "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),

@@ -995,6 +995,54 @@ SELECT node, round(pr, 6) AS pr FROM pr{iterations}
 """
 
 
+def kg_canonical_triples_sql(threshold: float = 0.5) -> str:
+    """Full north_star flow oracle (plans/kg.py:build_canonical_triples):
+    mentions -> blocked link edges -> recursive-CC canonical ids ->
+    triples with canonical objects, SAME_AS edges for non-canonical
+    surface forms (distinct per mention provenance), CONTAINS rows."""
+    return f"""
+WITH RECURSIVE {doc_mentions_cte()},
+{_link_edges_cte(threshold)},
+nodes AS (SELECT DISTINCT text AS n FROM ents),
+reach(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT CASE WHEN r.node = e.src THEN e.dst ELSE e.src END, r.lbl
+    FROM reach r JOIN link_edges e ON r.node IN (e.src, e.dst)
+),
+mapping AS (SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node),
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo,
+           sha256(text) AS content_sha
+    FROM documents
+),
+cm AS (
+    SELECT m.repo, m.path, m.sent_id, m.mbegin, m.mend, m.etype, m.text,
+           coalesce(mp.canonical_id, m.text) AS ctext
+    FROM mention_rows m LEFT JOIN mapping mp ON m.text = mp.node
+),
+tri AS (
+    SELECT cm.repo || '/' || cm.path AS subj,
+           CASE cm.etype WHEN 'op' THEN 'MENTIONS_OP' ELSE 'MENTIONS_OBJ' END AS pred,
+           cm.ctext AS obj, cm.repo AS repo, d.content_sha
+    FROM cm JOIN doc_sha d ON cm.path = d.path AND cm.repo = d.repo
+),
+sa AS (
+    SELECT DISTINCT cm.text AS subj, cm.ctext AS obj, cm.repo AS repo,
+           d.content_sha, cm.path, cm.sent_id, cm.mbegin, cm.mend
+    FROM cm JOIN doc_sha d ON cm.path = d.path AND cm.repo = d.repo
+    WHERE cm.text <> cm.ctext
+)
+SELECT subj, pred, obj, repo, content_sha FROM tri
+UNION ALL
+SELECT subj, 'SAME_AS' AS pred, obj, repo, content_sha FROM sa
+UNION ALL
+SELECT repo AS subj, 'CONTAINS' AS pred, repo || '/' || path AS obj,
+       repo, content_sha
+FROM doc_sha
+"""
+
+
 def triples_upsert_sql() -> str:
     """MERGE-INTO-shaped upsert oracle (mirrors operators/upsert.py):
     existing = flagship triples at version v1; incoming = re-emitted

@@ -71,6 +71,7 @@ def main() -> None:
         "entity_canonicalize", "dedup_minhash_lsh", "dedup_simhash",
         "ann_topk", "text_stats", "pricing_summary", "revenue_by_nation",
         "top_parts_per_supplier", "windowed_event_counts", "sessionize",
+        "kg_canonical_triples", "triples_upsert", "kg_pagerank",
     ):
         df = qs[name](spark, sf_dir)
         timed(name, lambda d=df: d.count())

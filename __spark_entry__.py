@@ -477,11 +477,14 @@ def _q_triples_upsert(spark, sf_dir):
 
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
+    # existing/incoming both derive from one pipeline here (a real
+    # deployment reads `existing` from the store); persist so the
+    # tagging stage runs once, not once per upsert branch
     base = t.select(
         "subj", "pred", "obj", "repo", "content_sha",
         F.regexp_extract(F.col("provenance.path"), r"docs/(\d+)\.txt", 1)
         .cast("long").alias("doc_id"),
-    )
+    ).persist()
     existing = base.drop("doc_id").withColumn("commit", F.lit("v1"))
     incoming = (
         base.filter(F.col("doc_id") % 5 == 0).drop("doc_id")

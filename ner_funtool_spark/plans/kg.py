@@ -50,7 +50,10 @@ def build_canonical_triples(source: DataFrame, *, domain: str = "code",
     from ..operators.linking import alias_link, link_entities
     from ..operators.triples import mentions_to_triples
 
-    mentions = detect_mentions(source, domain=domain, mode=mode)
+    # the Arrow tagging stage feeds linking (nodes + edges), the triple
+    # projection AND the SAME_AS branch — persist so it runs once, not
+    # once per downstream reference (session-lifetime cache, LRU)
+    mentions = detect_mentions(source, domain=domain, mode=mode).persist()
     if alias_df is not None:
         mentions = alias_link(mentions, alias_df)
         mentions = mentions.withColumn(

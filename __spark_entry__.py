@@ -149,7 +149,9 @@ def _q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_funtool_spark.operators.components import canonicalize
     from ner_funtool_spark.operators.linking import candidate_pairs
 
-    ents = _crf_mentions_std(spark, sf_dir).select("text", "etype").distinct()
+    # ents feeds both the edge builder and the node list — persist the
+    # (small) distinct entity table so the tagging stage runs once
+    ents = _crf_mentions_std(spark, sf_dir).select("text", "etype").distinct().persist()
     edges = candidate_pairs(ents).select("src", "dst")
     nodes = ents.select(F.col("text").alias("node")).distinct()
     return canonicalize(nodes, edges)
@@ -442,7 +444,9 @@ def _q_asof_join_keyed(spark, sf_dir):
 def _triples_edges(spark, sf_dir):
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
-    return t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    # degrees reads the edge list twice (out/in), pagerank many times:
+    # persist so the mention pipeline runs once per session
+    return t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).persist()
 
 
 def _q_kg_degrees(spark, sf_dir):

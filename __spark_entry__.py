@@ -361,6 +361,69 @@ def _q_kg_mentions_neural_invariants(spark, sf_dir):
     return out
 
 
+def _q_kg_mentions_cascade_invariants(spark, sf_dir):
+    """Same violations-vs-empty-oracle pattern for the cascade decode
+    path (dual-head boundary Viterbi + type argmax + trans_label)."""
+    from ner_funtool_spark.config import DOC_ETYPES
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="cascade")
+    checks = [
+        ("begin_nonneg", F.col("begin") < 0),
+        ("end_after_begin", F.col("end") <= F.col("begin")),
+        ("end_within_sentence", F.col("end") > F.length("sentence")),
+        (
+            "text_matches_offsets",
+            F.expr("substring(sentence, begin + 1, end - begin)") != F.col("text"),
+        ),
+        ("etype_known", ~F.col("etype").isin(*list(DOC_ETYPES))),
+        ("model_name", F.col("model") != F.lit("cascade_doc_v1")),
+    ]
+    out = None
+    for cname, cond in checks:
+        v = m.filter(cond).select(
+            F.lit(cname).alias("invariant"), "repo", "path",
+            F.col("begin").alias("mbegin"), F.col("end").alias("mend"),
+        )
+        out = v if out is None else out.unionAll(v)
+    return out
+
+
+def _q_wordpiece_invariants(spark, sf_dir):
+    """Structural invariants of the WordPiece stage as violations vs
+    the typed empty oracle: fixed width, 0/1 mask with all padding at
+    the tail, [CLS]-first alignment, ids within vocab, and the piece
+    count never below the word count (subword splits only add)."""
+    feats = _q_wordpiece_features(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+    f = feats.join(docs, "doc_id")
+    width = F.size("input_ids")
+    n_tok = F.aggregate("input_mask", F.lit(0), lambda a, x: a + x)
+    mask_bad = F.exists(F.col("input_mask"), lambda x: (x != 0) & (x != 1)) | F.exists(
+        # any 1 after the first 0 = padding not contiguous at the tail
+        F.zip_with(
+            F.col("input_mask"),
+            F.slice(F.concat(F.col("input_mask"), F.array(F.lit(0))), 2, 64),
+            lambda a, b: (a == 0) & (b == 1),
+        ),
+        lambda v: v,
+    )
+    checks = [
+        ("fixed_width", (width != 64) | (F.size("input_mask") != 64) | (F.size("label_ids") != 64)),
+        ("mask_shape", mask_bad),
+        ("cls_first", F.element_at("tokens", 1) != F.lit("[CLS]")),
+        ("tokens_match_mask", F.size("tokens") != n_tok),
+        ("pieces_ge_words", n_tok < F.least(F.col("n_words") + 2, F.lit(64))),
+    ]
+    out = None
+    for cname, cond in checks:
+        v = f.filter(cond).select(
+            F.lit(cname).alias("invariant"), F.col("doc_id"),
+        )
+        out = v if out is None else out.unionAll(v)
+    return out
+
+
 def _q_wordpiece_features(spark, sf_dir):
     """Reference flagship encode path (run_bert_crf.py:340-433) as a
     Spark stage: corpus-derived WordPiece vocab (broadcast), greedy
@@ -549,7 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
         "kg_mentions_neural_invariants": _q_kg_mentions_neural_invariants,
+        "kg_mentions_cascade_invariants": _q_kg_mentions_cascade_invariants,
         "wordpiece_features": _q_wordpiece_features,
+        "wordpiece_invariants": _q_wordpiece_invariants,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "kg_degrees": _q_kg_degrees,
@@ -609,6 +674,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),
         "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),
+        "kg_mentions_cascade_invariants": oracles.neural_invariants_sql(),
+        "wordpiece_invariants": oracles.wordpiece_invariants_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

@@ -875,6 +875,15 @@ WHERE 1 = 0
 """
 
 
+def wordpiece_invariants_sql() -> str:
+    """Typed empty oracle for the WordPiece-stage invariants query."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS invariant,
+       CAST(NULL AS BIGINT) AS doc_id
+WHERE 1 = 0
+"""
+
+
 def asof_join_keyed_sql() -> str:
     """Per-key ASOF oracle: rates for every (event_type, hour) pair so
     the Spark operator's lookback horizon is never exceeded."""

@@ -302,3 +302,27 @@ def test_topk_ivf_same_cluster_recall(spark, vecs):
     exact = {(r["neighbor_id"], r["score"])
              for r in topk_bruteforce(df, [0], 7).collect()}
     assert {(r["neighbor_id"], r["score"]) for r in got} <= exact
+
+
+def test_simhash_blocking_complete_vs_bruteforce(spark):
+    """The (d+1)-block pigeonhole claim, proven against brute force:
+    for a random corpus, simhash_pairs(d) returns EXACTLY the pairs
+    with Hamming(fp_a, fp_b) <= d — no candidate ever missed."""
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    pool = [f"w{i}" for i in range(60)]
+    docs = [(i, " ".join(rng.sample(pool, rng.randint(20, 40))))
+            for i in range(24)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for d in (0, 1, 3):
+        got = {(r["a"], r["b"]): r["dist"]
+               for r in simhash_pairs(df, d).collect()}
+        fps = {i: _fp64_py(t.split(" ")) for i, t in docs}
+        want = {}
+        for a, b in itertools.combinations(range(24), 2):
+            dist = bin(fps[a] ^ fps[b]).count("1")
+            if dist <= d:
+                want[(a, b)] = dist
+        assert got == want, f"d={d}"

@@ -128,3 +128,25 @@ def test_tokens_never_cross_sentence_boundary():
 def test_digit_letter_run_splits(s, want):
     _, tstart, tlen, ulens, utoks = _assert_equivalent([s])
     assert list(utoks[0, : ulens[0]]) == want
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+        max_size=200,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=8))
+    def test_hypothesis_spans_equal_regex(sentences):
+        """Fuzz: byte-path spans == regex spans for ANY ASCII input
+        (including control chars, long punct runs, empty strings)."""
+        _assert_equivalent(sentences, max_len=64)

@@ -70,3 +70,44 @@ def test_submit_json_from_gold_roundtrip(spark):
     assert all(set(l) == {"id", "label"} for l in lines)
     book = next(l for l in lines if l["label"].get("book"))
     assert book["label"]["book"]["qrstu"] == [[0, 4]]
+
+
+def test_clue_tags_match_reference_shipped_dev_txt(spark):
+    """Output parity with the reference's OWN shipped conversion: run
+    clue_tags on data/clue_ner/dev.json (read-only, as data) and
+    compare char/tag pairs against the corresponding blocks of the
+    dev.txt file the reference generated with data_trans.py."""
+    import json
+    import os
+
+    src = "/root/reference/data/clue_ner"
+    if not os.path.exists(f"{src}/dev.json"):
+        import pytest
+
+        pytest.skip("reference clue corpus not present")
+    n = 50
+    with open(f"{src}/dev.json", encoding="utf-8") as f:
+        raw = [json.loads(next(f)) for _ in range(n)]
+    blocks, block = [], []
+    with open(f"{src}/dev.txt", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                blocks.append(block)
+                block = []
+                if len(blocks) >= n:
+                    break
+            else:
+                ch, tag = line.split("\t")
+                block.append((ch, tag))
+    df = spark.createDataFrame(
+        [(i, r["text"], r.get("label")) for i, r in enumerate(raw)],
+        "line_id long, text string, "
+        "label map<string,map<string,array<array<int>>>>",
+    )
+    from ner_funtool_spark.sources.corpus import clue_tags
+
+    got = {r["line_id"]: (r["text"], r["tags"]) for r in clue_tags(df).collect()}
+    for i in range(n):
+        text, tags = got[i]
+        assert list(zip(list(text), tags)) == blocks[i], f"line {i}"

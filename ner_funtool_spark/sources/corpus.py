@@ -210,8 +210,14 @@ def wordtag_to_char_bio(df: DataFrame, text_col: str = "line",
     single-char word -> ``B_tag`` alone; 2+ chars -> ``B_ (M_)* E_``;
     tag ``o`` -> lowercase ``o`` per char (the reference writes '/o').
     Pure column expressions (flatten of a nested transform).
+
+    Empty tokens are dropped like python ``line.strip().split()`` does
+    (F.trim strips spaces only, so a trailing newline would otherwise
+    leave a '' token that the reference's split never produces).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     word = lambda t: F.element_at(F.split(t, sep), 1)  # noqa: E731
     tag = lambda t: F.element_at(F.split(t, sep), 2)  # noqa: E731
 

@@ -161,3 +161,45 @@ def test_split_tagged_sentences(spark):
         "line_id long, chars array<string>, tags array<string>",
     )
     assert split_tagged_sentences(df2, puncts=BOSON_SPLIT_PUNCTS).count() == 1
+
+
+MSRA_DIR = "/root/reference/data/msra_ner"
+
+
+def _spec_msra_wordtag(line: str) -> list[tuple[str, str]]:
+    """Test-local restatement of train2pkl.wordtag()
+    (data/msra_ner/train2pkl.py:8-39)."""
+    out = []
+    for word in line.strip().split():
+        w, t = word.split("/")[0], word.split("/")[1]
+        if t != "o":
+            if len(w) == 1:
+                out.append((w, "B_" + t))
+            else:
+                out.append((w[0], "B_" + t))
+                for j in w[1:-1]:
+                    out.append((j, "M_" + t))
+                out.append((w[-1], "E_" + t))
+        else:
+            for j in w:
+                out.append((j, "o"))
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(f"{MSRA_DIR}/testright1.txt"),
+                    reason="reference msra corpus not present")
+def test_msra_wordtag_converter_on_shipped_corpus(spark):
+    """S13 exact-rule check on the reference's REAL shipped corpus
+    (read-only as data): wordtag_to_char_bio == the train2pkl.wordtag
+    rule, line by line, for the first 100 non-empty lines."""
+    from ner_funtool_spark.sources.corpus import wordtag_to_char_bio
+
+    with open(f"{MSRA_DIR}/testright1.txt", encoding="utf-8") as f:
+        lines = [ln for ln in (next(f) for _ in range(120)) if ln.strip()][:100]
+    df = spark.createDataFrame(
+        list(enumerate(lines)), "line_id long, line string"
+    )
+    got = {r["line_id"]: list(zip(r["chars"], r["tags"]))
+           for r in wordtag_to_char_bio(df).collect()}
+    for i, ln in enumerate(lines):
+        assert got[i] == _spec_msra_wordtag(ln), f"line {i}"

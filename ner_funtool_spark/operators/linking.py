@@ -56,13 +56,31 @@ def _refine_hot_blocks(e: DataFrame, raw_col: str = "raw",
     refined = F.concat_ws(
         "#", F.col("block"), F.coalesce(F.element_at(raw_col, 2), F.lit(""))
     )
-    return (
+    e2 = (
         e.join(counts, "block")
         .withColumn(
             "block",
             F.when(F.col("_bn") > max_block, refined).otherwise(F.col("block")),
         )
         .drop("_bn")
+    )
+    # a refined (etype, tok1, tok2) block can itself still exceed the
+    # cap (pathological corpora); such blocks are DROPPED entirely —
+    # their entities become isolated nodes — so worst-case pair count
+    # per key is hard-bounded at max_block², never quadratic in n
+    counts2 = e2.groupBy("block").agg(F.count("*").alias("_bn2"))
+    if log_refined:
+        still = counts2.filter(F.col("_bn2") > max_block)
+        n_still = still.count()
+        if n_still:
+            logger.warning(
+                "linking: %d blocks still over max_block=%d AFTER "
+                "second-token refinement — dropped from candidate "
+                "generation", n_still, max_block)
+    return (
+        e2.join(counts2, "block")
+        .filter(F.col("_bn2") <= max_block)
+        .drop("_bn2")
     )
 
 

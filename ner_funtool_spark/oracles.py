@@ -213,11 +213,16 @@ ent_raw AS (
     FROM ents
 ),
 blk_n AS (SELECT block0, count(*) AS bn FROM ent_raw GROUP BY block0),
-ent_feats AS (
+ent_ref AS (
     SELECT text, etype, toks,
            CASE WHEN b.bn > {max_block} THEN e.block0 || '#' || e.tok2
                 ELSE e.block0 END AS block
     FROM ent_raw e JOIN blk_n b USING (block0)
+),
+blk_n2 AS (SELECT block, count(*) AS bn2 FROM ent_ref GROUP BY block),
+ent_feats AS (
+    SELECT e.text, e.etype, e.toks, e.block
+    FROM ent_ref e JOIN blk_n2 b USING (block) WHERE b.bn2 <= {max_block}
 ),
 cand AS (
     SELECT a.text AS src, b.text AS dst,
@@ -926,11 +931,16 @@ feat0 AS (
     FROM (SELECT *, string_split(text, ' ') AS toks FROM ents)
 ),
 blk_n AS (SELECT block0, count(*) AS bn FROM feat0 GROUP BY block0),
-feat AS (
+feat_ref AS (
     SELECT text, etype, vec,
            CASE WHEN b.bn > {max_block} THEN f.block0 || '#' || f.tok2
                 ELSE f.block0 END AS block
     FROM feat0 f JOIN blk_n b USING (block0)
+),
+blk_n2 AS (SELECT block, count(*) AS bn2 FROM feat_ref GROUP BY block),
+feat AS (
+    SELECT f.text, f.etype, f.vec, f.block
+    FROM feat_ref f JOIN blk_n2 b USING (block) WHERE b.bn2 <= {max_block}
 )
 SELECT a.text AS src, b.text AS dst, round({cos}, 6) AS cos
 FROM feat a JOIN feat b ON a.block = b.block AND a.text < b.text

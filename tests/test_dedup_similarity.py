@@ -148,6 +148,22 @@ def test_linking_hot_block_refined(spark):
     assert uncapped == 32 * 31 // 2  # the quadratic block the cap prevents
 
 
+def test_linking_still_hot_refined_block_dropped(spark):
+    """A block that stays oversized after second-token refinement is
+    dropped entirely — hard-bounding worst-case pair count per key."""
+    from ner_funtool_spark.operators.linking import candidate_pairs
+
+    # 30 entities share BOTH tok1 and tok2 -> refinement cannot split
+    rows = [(f"get item thing{i}", "op") for i in range(30)]
+    rows += [("put alpha one", "op"), ("put alpha two", "op")]
+    ents = spark.createDataFrame(rows, "text string, etype string")
+    got = {(r["src"], r["dst"])
+           for r in candidate_pairs(ents, threshold=0.0, max_block=10).collect()}
+    # the still-hot (op, get, item) block produced NO pairs; the small
+    # block is untouched
+    assert got == {("put alpha one", "put alpha two")}
+
+
 def _np_cosine(a, b):
     a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))

@@ -315,6 +315,28 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_keep_docs(spark, sf_dir):
+    """Dedup APPLIED: the corpus after near-dup removal — every doc in
+    a jaccard cluster except its min-id representative is dropped
+    (the keep-one-per-cluster materialization a training pipeline
+    actually runs)."""
+    from ner_funtool_spark.operators.components import canonicalize
+    from ner_funtool_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        ngram_jaccard_pairs(docs, JACCARD_T)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    drop = canonicalize(nodes, edges).filter(
+        F.col("node") != F.col("canonical_id")
+    ).select(F.col("node").alias("doc_id"))
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "lang")
+
+
 def _q_kg_mentions_neural(spark, sf_dir):
     """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
     driver check); decode parity is pinned by fixtures in pytest."""
@@ -609,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "vocab_build": _q_vocab_build,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_docs": _q_dedup_keep_docs,
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
         "kg_mentions_neural_invariants": _q_kg_mentions_neural_invariants,
@@ -677,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_cascade_invariants": oracles.neural_invariants_sql(),
         "wordpiece_invariants": oracles.wordpiece_invariants_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
+        "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the

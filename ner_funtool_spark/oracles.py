@@ -828,6 +828,28 @@ SELECT node AS doc_id, min(lbl) AS keep_id FROM reach GROUP BY node
 """
 
 
+def dedup_keep_docs_sql(threshold: float) -> str:
+    """Keep-one-per-cluster corpus materialization: drop every doc in
+    a near-dup component except its min-id representative."""
+    return f"""
+WITH RECURSIVE {_shingles_cte()},
+edges AS (SELECT a, b FROM jac_pairs WHERE jac >= {threshold}),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+reach(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.lbl
+    FROM reach r JOIN edges e ON r.node IN (e.a, e.b)
+),
+drop_ids AS (
+    SELECT node AS doc_id FROM reach GROUP BY node
+    HAVING node <> min(lbl)
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d ANTI JOIN drop_ids USING (doc_id)
+"""
+
+
 def sales_cube_sql() -> str:
     """CUBE grouping-sets aggregation (SURVEY §2.6: 'built-in if ever
     needed' — provided with an oracle for completeness)."""

@@ -416,7 +416,7 @@ def _q_wordpiece_invariants(spark, sf_dir):
     the typed empty oracle: fixed width, 0/1 mask with all padding at
     the tail, [CLS]-first alignment, ids within vocab, and the piece
     count never below the word count (subword splits only add)."""
-    feats = _q_wordpiece_features(spark, sf_dir)
+    feats = _wordpiece_feats_arrays(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
     f = feats.join(docs, "doc_id")
     width = F.size("input_ids")
@@ -446,12 +446,13 @@ def _q_wordpiece_invariants(spark, sf_dir):
     return out
 
 
-def _q_wordpiece_features(spark, sf_dir):
+def _wordpiece_feats_arrays(spark, sf_dir):
     """Reference flagship encode path (run_bert_crf.py:340-433) as a
     Spark stage: corpus-derived WordPiece vocab (broadcast), greedy
     subword split memoized per unique word, first-piece label
-    alignment.  Rows-only driver check — greedy longest-match is not
-    SQL-expressible; semantics pinned by tests/test_wordpiece.py."""
+    alignment.  Array-form output (one row per doc) — internal helper
+    for the invariants query; the driver-facing Q:wordpiece_features
+    explodes to scalar rows."""
     from ner_funtool_spark.config import DOC_OBJ_WORDS, DOC_OP_WORDS
     from ner_funtool_spark.operators.wordpiece_stage import (
         build_label_map,
@@ -460,7 +461,11 @@ def _q_wordpiece_features(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir)
-    vocab = corpus_vocab(d, min_freq=10)
+    # min_freq=500 deliberately drops the corpus's rare token ("dup",
+    # freq 26 at sf0.01) from the whole-token vocab so the greedy
+    # subword split (d ##u ##p) is exercised at the driver gate, not
+    # only in pytest fixtures
+    vocab = corpus_vocab(d, min_freq=500)
     label_map = build_label_map(["op", "obj"])
     words = F.split(F.col("text"), " ")
     labels = F.transform(
@@ -474,6 +479,31 @@ def _q_wordpiece_features(spark, sf_dir):
         vocab, label_map, max_len=64,
     )
     return feats.select("doc_id", "tokens", "input_ids", "input_mask", "label_ids")
+
+
+def _q_wordpiece_features(spark, sf_dir):
+    """WordPiece features exploded to one scalar row per (doc, pos):
+    (doc_id, pos, token, input_id, input_mask, label_id).  Scalar
+    columns canonicalize in the driver's pandas sort (the r2 array form
+    did not — VERDICT r2 item 1), and the whole encode — greedy split,
+    truncation, [CLS]/[SEP] wrap, first-piece label alignment, padding
+    — is value-hash-checked against a full DuckDB oracle
+    (oracles.wordpiece_features_sql)."""
+    feats = _wordpiece_feats_arrays(spark, sf_dir)
+    p1 = F.col("pos") + 1
+    return feats.select(
+        "doc_id",
+        F.posexplode("input_ids").alias("pos", "input_id"),
+        "tokens", "input_mask", "label_ids",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.when(F.col("pos") < F.size("tokens"), F.element_at("tokens", p1))
+        .otherwise("[PAD]").alias("token"),
+        F.col("input_id").cast("int").alias("input_id"),
+        F.element_at("input_mask", p1).cast("int").alias("input_mask"),
+        F.element_at("label_ids", p1).cast("int").alias("label_id"),
+    )
 
 
 def _q_asof_join(spark, sf_dir):
@@ -699,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),
         "kg_mentions_cascade_invariants": oracles.neural_invariants_sql(),
         "wordpiece_invariants": oracles.wordpiece_invariants_sql(),
+        "wordpiece_features": oracles.wordpiece_features_sql(min_freq=500),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no

@@ -911,6 +911,138 @@ WHERE 1 = 0
 """
 
 
+WP_CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789_"
+
+
+def wordpiece_features_sql(min_freq: int = 10, max_len: int = 64) -> str:
+    """Full SQL re-statement of the WordPiece encode stage
+    (operators/wordpiece_stage.py + functions/wordpiece.py, reference
+    semantics run_bert_crf.py:340-433): corpus vocab (specials, chars,
+    ##chars, then tokens with freq >= min_freq by (freq desc, tok)),
+    greedy longest-match split, truncation to max_len-2, [CLS]/[SEP]
+    wrap, first-piece label alignment with X continuations, zero
+    padding (pad label = O).  Output: one scalar row per (doc, pos).
+
+    The greedy split IS SQL-expressible for corpus_vocab-built vocabs
+    because every ``##`` continuation piece is a single character
+    (corpus tokens never start with a literal ``##``): the first piece
+    is the longest vocab prefix, every later piece is one ``##char``.
+    A word with any uncovered remainder char (or > 200 chars, or no
+    matching prefix) is whole-word [UNK] — same as
+    functions/wordpiece.py:wordpiece.
+    """
+    ops = _inlist(DOC_OP_WORDS)
+    objs = _inlist(DOC_OBJ_WORDS)
+    return f"""
+WITH words0 AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos
+    FROM words0
+),
+freq AS (
+    SELECT word AS tok, count(*) AS cnt FROM words
+    GROUP BY word HAVING count(*) >= {min_freq}
+),
+charlist AS (SELECT string_split('{WP_CHARSET}', '') AS cl),
+baselist AS (
+    SELECT ['[PAD]','[UNK]','[CLS]','[SEP]'] || cl
+           || list_transform(cl, c -> '##' || c) AS bl
+    FROM charlist
+),
+base AS (
+    SELECT unnest(bl) AS piece, generate_subscripts(bl, 1) - 1 AS id
+    FROM baselist
+),
+vocab AS (
+    SELECT piece, id FROM base
+    UNION ALL
+    SELECT tok,
+           (SELECT count(*) FROM base) - 1
+           + row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
+    FROM freq
+    WHERE tok <> '' AND tok NOT IN (SELECT piece FROM base)
+),
+dwords AS (SELECT DISTINCT word FROM words),
+firstp AS (
+    -- greedy first piece = longest vocab prefix of the word
+    SELECT d.word, max(len(v.piece)) AS flen
+    FROM dwords d JOIN vocab v
+      ON len(v.piece) <= len(d.word)
+     AND v.piece = substr(d.word, 1, len(v.piece))
+    GROUP BY d.word
+),
+wpieces AS (
+    SELECT d.word,
+      CASE
+        WHEN d.word = '' THEN CAST([] AS VARCHAR[])
+        WHEN len(d.word) > 200 OR f.flen IS NULL
+             OR regexp_matches(substr(d.word, f.flen + 1), '[^{WP_CHARSET}]')
+          THEN ['[UNK]']
+        ELSE list_prepend(
+               substr(d.word, 1, f.flen),
+               list_transform(
+                 list_filter(string_split(substr(d.word, f.flen + 1), ''),
+                             c -> c <> ''),
+                 c -> '##' || c))
+      END AS pieces
+    FROM dwords d LEFT JOIN firstp f USING (word)
+),
+doc_pieces AS (
+    SELECT w.doc_id, w.wpos, p.pieces,
+           CASE WHEN w.word IN ({ops}) THEN 'op'
+                WHEN w.word IN ({objs}) THEN 'obj'
+                ELSE 'O' END AS lab
+    FROM words w JOIN wpieces p USING (word)
+),
+flat AS (
+    SELECT doc_id, wpos, unnest(pieces) AS piece,
+           generate_subscripts(pieces, 1) AS k, lab
+    FROM doc_pieces
+),
+seqd AS (
+    SELECT doc_id, piece,
+           CASE WHEN k = 1 THEN lab ELSE 'X' END AS plab,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wpos, k) AS seq
+    FROM flat
+),
+trunc AS (SELECT * FROM seqd WHERE seq <= {max_len} - 2),
+nn AS (
+    SELECT d.doc_id, count(t.seq) AS n
+    FROM documents d LEFT JOIN trunc t USING (doc_id)
+    GROUP BY d.doc_id
+),
+positions AS (
+    SELECT doc_id, unnest(range({max_len})) AS pos FROM documents
+),
+tokrows AS (
+    SELECT p.doc_id, p.pos,
+      CASE WHEN p.pos = 0 THEN '[CLS]'
+           WHEN p.pos <= nn.n THEN t.piece
+           WHEN p.pos = nn.n + 1 THEN '[SEP]'
+           ELSE '[PAD]' END AS token,
+      CASE WHEN p.pos = 0 THEN '[CLS]'
+           WHEN p.pos <= nn.n THEN t.plab
+           WHEN p.pos = nn.n + 1 THEN '[SEP]'
+           ELSE 'O' END AS plab,
+      CASE WHEN p.pos <= nn.n + 1 THEN 1 ELSE 0 END AS input_mask
+    FROM positions p
+    JOIN nn USING (doc_id)
+    LEFT JOIN trunc t ON t.doc_id = p.doc_id AND t.seq = p.pos
+),
+labmap(lab, lid) AS (VALUES
+    ('[PAD]', 0), ('[CLS]', 1), ('[SEP]', 2), ('O', 3), ('X', 4),
+    ('op', 5), ('obj', 6))
+SELECT tr.doc_id, tr.pos::INT AS pos, tr.token,
+       v.id::INT AS input_id, tr.input_mask::INT AS input_mask,
+       lm.lid::INT AS label_id
+FROM tokrows tr
+JOIN vocab v ON v.piece = tr.token
+JOIN labmap lm ON lm.lab = tr.plab
+"""
+
+
 def asof_join_keyed_sql() -> str:
     """Per-key ASOF oracle: rates for every (event_type, hour) pair so
     the Spark operator's lookback horizon is never exceeded."""

@@ -22,14 +22,25 @@ TABLES = [
 ]
 
 
-def value_hash(pdf: pd.DataFrame) -> str:
+def canonicalize(pdf: pd.DataFrame) -> pd.Series:
+    """Replicates the real driver's _canon path: sort the RAW frame by
+    all columns FIRST (pandas sort_values — this is exactly where
+    unhashable cells like array columns blow up in the driver,
+    CORRECTNESS_r02 wordpiece_features.err), then stringify rows.
+    Rows-only queries go through this too, so a result the driver
+    cannot canonicalize fails HERE, before it ships."""
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    if not pdf.empty:
+        pdf = pdf.sort_values(by=cols)
+    return pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1)
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
     if pdf.empty:
         return hashlib.sha256(b"<empty>").hexdigest()
-    rows = pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
     h = hashlib.sha256()
-    for r in rows:
+    for r in canonicalize(pdf):
         h.update(r.encode())
         h.update(b"\n")
     return h.hexdigest()
@@ -62,12 +73,28 @@ def main() -> int:
             continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in os_:
-            print(f"{name}: rows={len(sdf)} (no oracle — rows-only check)")
+            # the real driver still canonicalizes rows-only results
+            # (sorts the raw frame) — run the same path and discard the
+            # hash, so an uncanonicalizable result fails the gate here
+            try:
+                value_hash(sdf)
+            except Exception as ex:
+                print(f"{name}: rows={len(sdf)} rows-only CANONICALIZE "
+                      f"FAILED: {type(ex).__name__}: {ex}")
+                fails.append(name)
+                continue
+            print(f"{name}: rows={len(sdf)} (no oracle — rows-only check, "
+                  "canonicalization ok)")
             continue
         odf = con.execute(os_[name]).df()
         ok_rows = len(sdf) == len(odf)
         ok_schema = sorted(sdf.columns) == sorted(odf.columns)
-        ok_hash = ok_schema and value_hash(sdf) == value_hash(odf)
+        try:
+            ok_hash = ok_schema and value_hash(sdf) == value_hash(odf)
+        except Exception as ex:
+            print(f"{name}: CANONICALIZE FAILED: {type(ex).__name__}: {ex}")
+            fails.append(name)
+            continue
         status = "OK" if (ok_rows and ok_schema and ok_hash) else "MISMATCH"
         print(f"{name}: spark_rows={len(sdf)} oracle_rows={len(odf)} "
               f"schema={'ok' if ok_schema else sorted(sdf.columns) + ['|'] + sorted(odf.columns)} "

@@ -556,12 +556,24 @@ def _q_asof_join_keyed(spark, sf_dir):
     return out.select("event_id", "event_type", "ts", "rt", "rate")
 
 
+_EDGE_CACHE: dict = {}
+
+
 def _triples_edges(spark, sf_dir):
+    # degrees reads the edge list twice (out/in), pagerank many times:
+    # persist so the mention pipeline runs once — and memoize per
+    # (session, sf_dir) so kg_degrees + kg_pagerank share ONE cached
+    # edge list instead of leaking one persisted copy per call
+    # (r2 ADVICE item 3)
+    key = (id(spark), sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
-    # degrees reads the edge list twice (out/in), pagerank many times:
-    # persist so the mention pipeline runs once per session
-    return t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).persist()
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).persist()
+    _EDGE_CACHE[key] = e
+    return e
 
 
 def _q_kg_degrees(spark, sf_dir):

@@ -185,11 +185,16 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
 
     band bucket key = one BIGINT — bit_xor of xxhash64(i, sig) over the
     band's r signature rows.  Key equality is implied by equal band
-    contents (so no true candidate is ever lost), and any xor collision
-    only ADDS a candidate that the exact-jaccard verification then
-    rejects — which is why a JVM-native hash is safe here even though
-    it differs from DuckDB's.  One 8-byte key instead of the previous
-    ~r*24-byte concat string cuts the self-join shuffle width.
+    contents (so no candidate the banding scheme promises is ever
+    lost).  An xor COLLISION (probability ~2^-64 per band pair) adds an
+    extra candidate; verification keeps it iff its true jaccard clears
+    the threshold — so a collision can only add a CORRECT pair that the
+    band-equality scheme itself would have missed.  Vs the DuckDB
+    oracle (string-agg band keys, collision-free at these widths) that
+    is a one-sided recall asymmetry, not a soundness issue: at ~2^-64
+    it is negligible, and every pair either engine emits is truly above
+    threshold.  One 8-byte key instead of the previous ~r*24-byte
+    concat string cuts the self-join shuffle width.
 
     Pairs sharing any bucket are verified with the true shingle jaccard
     (so the threshold is exact, LSH only prunes).

@@ -73,6 +73,13 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list: no nodes, typed-empty result (guards the
+        # 1.0/n below; r2 ADVICE item 3)
+        out = nodes.select("node", F.lit(0.0).cast("double").alias("pr"))
+        e.unpersist()
+        nodes.unpersist()
+        return out
     out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -99,4 +106,13 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.round("pr", 6).alias("pr"))
+    # materialize the final ranks (eager checkpoint) BEFORE releasing
+    # the cached edge/node tables the iteration plan reads — after
+    # this the caller holds a self-contained result and the loop's
+    # persisted inputs are freed (r2 ADVICE item 3)
+    out = ranks.select("node", F.round("pr", 6).alias("pr")).localCheckpoint(
+        eager=True
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

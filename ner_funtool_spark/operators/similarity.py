@@ -16,6 +16,15 @@ Two paths, same contract (query ids -> top-k neighbors by cosine):
 Also near_duplicates_cosine: all pairs above a cosine threshold,
 LSH-bucketed candidates + exact verify (the embedding near-dup detector
 of the dedup suite).
+
+Cross-engine determinism: every top-k window here orders by the
+6-decimal ROUNDED score with neighbor-id tie-break, and the DuckDB
+oracles order the same way (r2 ADVICE item 1).  Ordering by the
+unrounded cosine would require bit-identical doubles across engines,
+which the differing summation orders (Spark left-fold vs DuckDB
+aggregate) do not guarantee; rounding absorbs the ulp noise and the id
+tie-break makes the rank total.  Thresholds (near-dup) still compare
+the unrounded value on both sides per the repo rule.
 """
 
 from __future__ import annotations

@@ -548,7 +548,7 @@ WITH ranked AS (
            round({cos}, 6) AS score,
            row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+               ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < {query_max_id}
 )
@@ -567,7 +567,7 @@ ranked AS (
            round({cos}, 6) AS score,
            row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+               ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
     FROM bucketed q JOIN bucketed c
       ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
     WHERE q.vec_id < {query_max_id}
@@ -598,7 +598,7 @@ ranked AS (
            round({cos}, 6) AS score,
            row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+               ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
     FROM probes q JOIN bucketed c
       ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 )
@@ -639,7 +639,7 @@ rr AS (
     SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS score,
            row_number() OVER (
                PARTITION BY q.query_id
-               ORDER BY {cos} DESC, c.neighbor_id ASC) AS rank
+               ORDER BY round({cos}, 6) DESC, c.neighbor_id ASC) AS rank
     FROM qprobe q JOIN corpus c
       ON q.cid = c.cid AND q.query_id <> c.neighbor_id
 )

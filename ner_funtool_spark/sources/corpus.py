@@ -503,10 +503,17 @@ def gen_char_embedding(spark: SparkSession, raw_embedding_path: str,
     Faithful rules: the 7 special tokens head the vocab in the
     reference's order, file rows follow in FILE ORDER; rows whose char
     is a literal space are skipped; ``<PAD>`` backfills as the zero
-    vector; other missing specials get normal(0,1) vectors.  One
-    documented divergence: the reference's backfill is unseeded
+    vector; other missing specials get normal(0,1) vectors.  Two
+    documented divergences: (1) the reference's backfill is unseeded
     np.random — here it is seeded (config.SEED by default) so re-runs
-    are byte-identical (the engine's determinism invariant).
+    are byte-identical (the engine's determinism invariant); (2) the
+    reference appends every file row to vocab_ls unconditionally, so a
+    special token ALSO present in the embedding file gets two vocab
+    entries (its special slot 0-6 plus a file-order id) — here it is
+    deduped to the special slot only, since a duplicate char key would
+    break the (ch -> id) dict contract every downstream consumer
+    assumes (the reference only avoids the crash because its dict
+    insert silently overwrites).
 
     Returns (ch, id, vector array<double>) with dense ids matching the
     vocab file the reference writes.  The file is a bounded dimension

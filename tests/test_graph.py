@@ -43,3 +43,11 @@ def test_pagerank_matches_numpy_with_dangling(spark):
         assert abs(got[node] - pr) < 1e-6, node
     # probability mass is conserved under dangling redistribution
     assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_empty_edges(spark):
+    # empty edge list: typed empty result, no ZeroDivisionError
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(df)
+    assert out.columns == ["node", "pr"]
+    assert out.count() == 0

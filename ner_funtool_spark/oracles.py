@@ -828,6 +828,49 @@ SELECT node AS doc_id, min(lbl) AS keep_id FROM reach GROUP BY node
 """
 
 
+def dedup_keep_docs_longest_sql(threshold: float) -> str:
+    """Keep-one-per-cluster with the keep-LONGEST policy: per near-dup
+    component keep the (n_chars desc, doc_id asc) representative;
+    unclustered docs pass through (mirrors
+    components.keep_one_per_cluster with that order)."""
+    return f"""
+WITH RECURSIVE {_shingles_cte()},
+edges AS (SELECT a, b FROM jac_pairs WHERE jac >= {threshold}),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+reach(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.lbl
+    FROM reach r JOIN edges e ON r.node IN (e.a, e.b)
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY node),
+dd AS (
+    SELECT d.doc_id, d.source, d.lang, d.n_chars,
+           coalesce(c.cid, d.doc_id) AS cid
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+rn AS (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY cid ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM dd
+)
+SELECT doc_id, source, lang, n_chars FROM rn WHERE rn = 1
+"""
+
+
+def ann_ivf_trained_invariants_sql() -> str:
+    """Typed empty oracle for the trained-IVF invariants query: the
+    k-means trainer cannot be expressed in SQL (no centroid literals
+    exist before it runs), so the gate is violations == empty set."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS invariant,
+       CAST(NULL AS BIGINT) AS value,
+       CAST(NULL AS BIGINT) AS baseline
+WHERE 1 = 0
+"""
+
+
 def dedup_keep_docs_sql(threshold: float) -> str:
     """Keep-one-per-cluster corpus materialization: drop every doc in
     a near-dup component except its min-id representative."""

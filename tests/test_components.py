@@ -115,3 +115,30 @@ def test_link_entities_assigns_canonical_ids(spark):
     assert by_text["join merge sort"] == {"join merge"}
     assert by_text["scan"] == {"scan"}
     assert len(got) == 4  # mention rows preserved
+
+
+def test_keep_one_per_cluster_policies(spark):
+    from pyspark.sql import functions as F
+
+    from ner_funtool_spark.operators.components import keep_one_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3} with canonical 1; 4 clustered alone; 9 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, canonical_id long"
+    )
+    # default policy: min id per cluster
+    kept = {r["doc_id"] for r in keep_one_per_cluster(docs, clusters).collect()}
+    assert kept == {1, 4, 9}
+    # keep-longest policy: n_chars desc, doc_id asc tie-break (2 beats 3)
+    kept = {
+        r["doc_id"]
+        for r in keep_one_per_cluster(
+            docs, clusters,
+            order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        ).collect()
+    }
+    assert kept == {2, 4, 9}

@@ -703,7 +703,7 @@ def _q_kg_canonical_triples(spark, sf_dir):
     return t.select("subj", "pred", "obj", "repo", "content_sha")
 
 
-def _q_triples_upsert(spark, sf_dir):
+def _q_triples_upsert(spark, sf_dir, bloom: bool = False):
     """Incremental KG maintenance: re-emitted triples (updated content,
     newer version) for 1-in-5 docs MERGE into the existing store —
     matched keys take the newest version, the rest pass through."""
@@ -725,7 +725,16 @@ def _q_triples_upsert(spark, sf_dir):
         .withColumn("content_sha", F.concat(F.lit("new:"), F.col("content_sha")))
         .withColumn("commit", F.lit("v2"))
     )
-    return upsert_triples(existing, incoming)
+    return upsert_triples(existing, incoming, bloom=bloom)
+
+
+def _q_triples_upsert_bloom(spark, sf_dir):
+    """The same MERGE with a Bloom filter over the incoming keys pruning
+    the existing-side semi-join input in its scan stage (VERDICT r2
+    item 4).  Blooming never drops a true match, so this query is gated
+    against the SAME oracle as Q:triples_upsert — a hash match proves
+    the pruning is semantics-free."""
+    return _q_triples_upsert(spark, sf_dir, bloom=True)
 
 
 def _q_kg_repo_rollup(spark, sf_dir):
@@ -790,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "triples_upsert": _q_triples_upsert,
+        "triples_upsert_bloom": _q_triples_upsert_bloom,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
@@ -840,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),
         "triples_upsert": oracles.triples_upsert_sql(),
+        "triples_upsert_bloom": oracles.triples_upsert_sql(),
         "kg_canonical_triples": oracles.kg_canonical_triples_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),

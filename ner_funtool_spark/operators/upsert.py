@@ -27,6 +27,86 @@ from pyspark.sql import functions as F
 
 TRIPLE_KEY = ("subj", "pred", "obj")
 
+BLOOM_HASHES = 3
+BLOOM_BITS_PER_KEY = 16
+_BLOOM_MAX_BITS = 1 << 26  # 64 Mbit = 8 MB bitmap ceiling (broadcast state)
+
+
+def _bloom_num_bits(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    m = 1 << max(10, (max(n_keys, 1) * bits_per_key - 1).bit_length())
+    return min(m, _BLOOM_MAX_BITS)
+
+
+def _bloom_positions(key_cols, num_bits: int, num_hashes: int):
+    """k independent bit positions per key tuple: pmod(xxhash64(i, keys))
+    — one hash per probe index rather than h1 + i*h2 arithmetic, so no
+    bigint overflow under ANSI mode and the same expression serves
+    build and probe."""
+    cols = [F.col(c) for c in key_cols]
+    return [
+        F.pmod(F.xxhash64(F.lit(i), *cols), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def build_key_bloom(keys_df: DataFrame, key_cols,
+                    num_hashes: int = BLOOM_HASHES,
+                    bits_per_key: int = BLOOM_BITS_PER_KEY):
+    """Bloom filter over ``keys_df``'s key tuples, built as ONE
+    distributed aggregation (explode k positions -> groupBy word ->
+    bit_or), collected as a bounded ``num_bits/64``-long bitmap and
+    returned as a 1-row DataFrame to broadcast onto the probe side.
+
+    This is the runtime-row-filter idea Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` applies to shuffle
+    joins, made explicit and deterministic: the build side costs one
+    pass over the (small) key set, the probe predicate is pure
+    whole-stage-codegen column expressions, and NO key is ever falsely
+    rejected — false positives only pass extra rows to the exact join
+    behind it, so any join it guards keeps its semantics.
+
+    Returns (bloom_df['_bloom' array<bigint>], num_bits, num_hashes).
+    """
+    n = keys_df.count()
+    m = _bloom_num_bits(n, bits_per_key)
+    pos = F.explode(F.array(*_bloom_positions(key_cols, m, num_hashes)))
+    words = (
+        keys_df.select(pos.alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.col("p").cast("int").alias("pi"),
+        )
+        .selectExpr("w", "shiftleft(cast(1 as bigint), pi % 64) AS bit")
+        .groupBy("w").agg(F.bit_or("bit").alias("bits"))
+    )
+    got = {r["w"]: r["bits"] for r in words.collect()}
+    bitmap = [got.get(i, 0) for i in range(m // 64)]
+    spark = keys_df.sparkSession
+    bloom_df = spark.createDataFrame([(bitmap,)], "_bloom array<bigint>")
+    return bloom_df, m, num_hashes
+
+
+def bloom_prune(probe: DataFrame, bloom_df: DataFrame, key_cols,
+                num_bits: int, num_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Drop ``probe`` rows whose key tuple cannot be in the bloom'd key
+    set — runs in the probe's scan stage, BEFORE any shuffle the exact
+    join behind it needs.  Output schema == probe schema."""
+    out = probe.crossJoin(F.broadcast(bloom_df))
+    conds = []
+    for i, p in enumerate(_bloom_positions(key_cols, num_bits, num_hashes)):
+        out = out.withColumn(f"_bp{i}", p)
+        conds.append(
+            F.expr(
+                f"(shiftright(element_at(_bloom, cast(_bp{i} / 64 AS int) + 1),"
+                f" cast(_bp{i} % 64 AS int)) & 1) = 1"
+            )
+        )
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    drop = ["_bloom"] + [f"_bp{i}" for i in range(num_hashes)]
+    return out.filter(keep).drop(*drop)
+
 
 def latest_per_key(df: DataFrame, key_cols=TRIPLE_KEY,
                    version_col: str = "commit") -> DataFrame:
@@ -46,13 +126,30 @@ def latest_per_key(df: DataFrame, key_cols=TRIPLE_KEY,
 
 def upsert_triples(existing: DataFrame, incoming: DataFrame,
                    key_cols=TRIPLE_KEY,
-                   version_col: str = "commit") -> DataFrame:
+                   version_col: str = "commit",
+                   bloom: bool = False) -> DataFrame:
     """MERGE-INTO semantics: keys present in ``incoming`` take the
     newest version across BOTH tables; all other existing rows pass
-    through untouched.  Columns must match."""
+    through untouched.  Columns must match.
+
+    ``bloom=True`` builds a Bloom filter over the incoming keys and
+    prunes the existing-side input of the semi join with it IN THE SCAN
+    STAGE — when ``incoming`` is too large to broadcast (the 100 TB
+    case: both join inputs shuffle on the key), an update touching 1%
+    of keys stops shuffling ~100% of the store into the matched-side
+    resolution; only bloom hits (matches + ~0.1% false positives at 16
+    bits/key) flow on.  Blooming never drops a true match, so the
+    result is hash-identical to ``bloom=False`` — Q:triples_upsert_bloom
+    is gated against the SAME oracle as Q:triples_upsert."""
     keys = list(key_cols)
     inc_keys = incoming.select(*keys).distinct()
+    if bloom:
+        inc_keys = inc_keys.persist()  # read by the bloom build + both joins
     untouched = existing.join(inc_keys, keys, "left_anti")
-    touched = existing.join(inc_keys, keys, "left_semi").unionByName(incoming)
+    ex_touch = existing
+    if bloom:
+        bloom_df, m, k = build_key_bloom(inc_keys, keys)
+        ex_touch = bloom_prune(existing, bloom_df, keys, m, k)
+    touched = ex_touch.join(inc_keys, keys, "left_semi").unionByName(incoming)
     resolved = latest_per_key(touched, key_cols, version_col)
     return untouched.unionByName(resolved)

@@ -58,3 +58,39 @@ def test_upsert_older_incoming_does_not_regress(spark):
     rows = upsert_triples(existing, incoming).collect()
     assert len(rows) == 1
     assert rows[0]["commit"] == "v2"     # store already newer: kept
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    from ner_funtool_spark.operators.upsert import bloom_prune, build_key_bloom
+
+    # 1000-key store, 10 incoming keys: the bloom must pass all 10
+    # matches and prune (almost) everything else before the join
+    existing = spark.range(1000).selectExpr(
+        "concat('s', id) AS subj", "'P' AS pred", "concat('o', id) AS obj"
+    )
+    incoming_keys = spark.range(0, 1000, 100).selectExpr(
+        "concat('s', id) AS subj", "'P' AS pred", "concat('o', id) AS obj"
+    )
+    keys = ["subj", "pred", "obj"]
+    bloom_df, m, k = build_key_bloom(incoming_keys, keys)
+    pruned = bloom_prune(existing, bloom_df, keys, m, k)
+    assert pruned.columns == existing.columns
+    n_pass = pruned.count()
+    # no false negatives: every true match survives the bloom
+    assert pruned.join(incoming_keys, keys, "left_semi").count() == 10
+    # real pruning: at 16 bits/key the fp rate is well under 1%
+    assert n_pass < 30, n_pass
+
+
+def test_upsert_bloom_identical_result(spark):
+    existing = spark.createDataFrame(
+        [("a", "P", "x", "r1", "s1", "v1"), ("b", "P", "y", "r1", "s2", "v1"),
+         ("c", "P", "z", "r2", "s3", "v1")], SCHEMA
+    )
+    incoming = spark.createDataFrame(
+        [("a", "P", "x", "r1", "s1new", "v2"), ("d", "P", "w", "r2", "s4", "v2")],
+        SCHEMA
+    )
+    plain = sorted(map(tuple, upsert_triples(existing, incoming).collect()))
+    bloomed = sorted(map(tuple, upsert_triples(existing, incoming, bloom=True).collect()))
+    assert plain == bloomed

@@ -156,3 +156,36 @@ def test_plan_pagerank_constant_depth(spark):
     # depth measured as plan-string line count: must not scale ~3x
     d2, d6 = len(_plan(p2).splitlines()), len(_plan(p6).splitlines())
     assert d6 <= d2 + 5, (d2, d6)
+
+
+def test_driver_query_plan_shapes_match_snapshot(spark):
+    """The committed BENCH/PLANS.json is the expected physical-plan
+    shape of the most expensive driver queries (VERDICT r2 item 3):
+    join strategies, shuffle/Arrow-stage counts, pushed filters, and
+    the per-row-Python count (always 0).  A regression to a worse plan
+    changes a count and fails here; intentional plan changes must
+    regenerate the snapshot (python tools/plan_snapshot.py) and commit
+    the reviewed diff."""
+    import json
+    import os
+    import sys
+
+    import __spark_entry__ as mod
+    from ner_funtool_spark.plans.inspect import plan_summary
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    with open(os.path.join(repo, "BENCH", "PLANS.json")) as f:
+        snap = json.load(f)
+    qs = mod.queries()
+    mismatches = {}
+    for name, want in snap["queries"].items():
+        # cache-free, like tools/plan_snapshot.py: cached subtrees from
+        # other queries/tests would substitute into the plan text and
+        # make counts order-dependent
+        spark.catalog.clearCache()
+        got = plan_summary(qs[name](spark, snap["sf_dir"]))
+        assert got["per_row_python"] == 0, name  # never row-at-a-time
+        if got != want:
+            mismatches[name] = {"want": want, "got": got}
+    assert not mismatches, json.dumps(mismatches, indent=1)

@@ -1,0 +1,73 @@
+"""Snapshot the physical-plan shape of the most expensive driver
+queries to BENCH/PLANS.json (VERDICT r2 item 3).
+
+The committed snapshot is the expectation tests/test_plans.py compares
+against: regenerate with  `python tools/plan_snapshot.py`  ONLY when a
+plan change is intentional, and review the diff — a broadcast join
+degrading to sort-merge, an extra Python stage, or a lost pushed filter
+shows up as a changed count here.
+
+Usage: python tools/plan_snapshot.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the 10+ most expensive driver queries by bench wall (BENCH_r*.json),
+# plus wordpiece_features (the one with its own Arrow stage kind)
+PLAN_QUERIES = [
+    "kg_triples",
+    "kg_mentions",
+    "mentions_relational",
+    "kg_canonical_triples",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "entity_canonicalize",
+    "ann_topk",
+    "triples_upsert",
+    "triples_upsert_bloom",
+    "sessionize",
+    "embedding_link",
+    "wordpiece_features",
+]
+
+
+def snapshot(sf_dir: str) -> dict:
+    import __spark_entry__ as mod
+    from ner_funtool_spark.plans.inspect import plan_summary
+    from ner_funtool_spark.session import get_spark
+
+    spark = get_spark("plan_snapshot", cores=8, shuffle_partitions=8)
+    qs = mod.queries()
+    out = {}
+    for name in PLAN_QUERIES:
+        # cached subtrees from OTHER queries substitute into this plan's
+        # text and make counts order-dependent — snapshot cache-free
+        spark.catalog.clearCache()
+        out[name] = plan_summary(qs[name](spark, sf_dir))
+        print(name, out[name])
+    spark.stop()
+    return {"sf_dir": sf_dir, "queries": out}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "PLANS.json",
+    )
+    snap = snapshot(sf_dir)
+    with open(out_path, "w") as f:
+        json.dump(snap, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("wrote", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -105,6 +105,97 @@ class SeededBiLSTM:
         return h @ self.w_out + self.b_out, h @ self.w_attr + self.b_attr
 
 
+def _gelu(x: np.ndarray) -> np.ndarray:
+    """BERT's tanh-approximation gelu (bert/modeling_bert.py gelu)."""
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)
+    ))
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray,
+                eps: float = 1e-12) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * g + b
+
+
+class SeededBertBiLSTM(SeededBiLSTM):
+    """Seeded toy-scale BERT encoder (M13) composed with the BiLSTM
+    (M2) — the model_bert_crf.py shape (BERT -> blstm -> CRF,
+    layers/lstm_crf_layer.py:12-164 on top of the transformer).
+
+    Encoder semantics mirror bert/modeling_bert.py:963-1157 at toy
+    scale: token + position embeddings; per layer multi-head
+    self-attention (Q/K/V projections, scaled dot-product, additive
+    -1e4 key mask for padding, softmax, output projection) with
+    residual + LayerNorm, then a gelu FFN (D -> 4D -> D) with residual
+    + LayerNorm.  Heads/Viterbi interface is inherited unchanged
+    (logits / dual_logits / transitions), so the cascade path and the
+    fixture machinery work as before.
+
+    Weights are seeded, not trained (the accepted M13 design): the
+    attention stack draws from ``RandomState(seed + 101)`` so the base
+    class's draw order — embedding, LSTM blocks, heads, transitions —
+    is untouched and everything keyed off the base seed (boundary
+    transitions, emission fixtures) stays stable.
+    """
+
+    def __init__(self, vocab_size: int, n_tags: int, *,
+                 n_attr: int | None = None, embed_dim: int = EMBED_DIM,
+                 hidden: int = HIDDEN_DIM, seed: int = SEED,
+                 n_layers: int = 2, n_heads: int = 4, max_pos: int = 128):
+        super().__init__(vocab_size, n_tags, n_attr=n_attr,
+                         embed_dim=embed_dim, hidden=hidden, seed=seed)
+        rng = np.random.RandomState(seed + 101)
+        D = embed_dim
+        assert D % n_heads == 0
+        self.n_heads = n_heads
+        self.pos = (rng.randn(max_pos, D) * 0.1).astype(np.float32)
+        self.att_layers = []
+        for _ in range(n_layers):
+            lw = {}
+            for name in ("wq", "wk", "wv", "wo"):
+                lw[name] = (rng.randn(D, D) * 0.3).astype(np.float32)
+                lw["b" + name[1]] = (rng.randn(D) * 0.1).astype(np.float32)
+            lw["g1"] = np.ones(D, dtype=np.float32)
+            lw["be1"] = np.zeros(D, dtype=np.float32)
+            lw["w1"] = (rng.randn(D, 4 * D) * 0.3).astype(np.float32)
+            lw["c1"] = (rng.randn(4 * D) * 0.1).astype(np.float32)
+            lw["w2"] = (rng.randn(4 * D, D) * 0.3).astype(np.float32)
+            lw["c2"] = (rng.randn(D) * 0.1).astype(np.float32)
+            lw["g2"] = np.ones(D, dtype=np.float32)
+            lw["be2"] = np.zeros(D, dtype=np.float32)
+            self.att_layers.append(lw)
+
+    def encode(self, ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """ids [B,S] -> [B,S,H]: attention stack then BiLSTM fw+bw."""
+        B, S = ids.shape
+        mask = np.arange(S)[None, :] < np.asarray(lengths)[:, None]
+        x = (self.embed[ids] + self.pos[None, :S]).astype(np.float32)
+        dh = x.shape[-1] // self.n_heads
+        # additive key mask: no position attends TO padding
+        neg = np.where(mask, 0.0, -1e4).astype(np.float32)[:, None, None, :]
+        for lw in self.att_layers:
+
+            def heads(w, b):
+                return (x @ w + b).reshape(B, S, self.n_heads, dh).transpose(0, 2, 1, 3)
+
+            q, k, v = heads(lw["wq"], lw["bq"]), heads(lw["wk"], lw["bk"]), heads(lw["wv"], lw["bv"])
+            sc = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh) + neg
+            sc -= sc.max(axis=-1, keepdims=True)
+            p = np.exp(sc)
+            p /= p.sum(axis=-1, keepdims=True)
+            ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, S, -1)
+            a = ctx @ lw["wo"] + lw["bo"]
+            x = _layer_norm(x + a, lw["g1"], lw["be1"])
+            f = _gelu(x @ lw["w1"] + lw["c1"]) @ lw["w2"] + lw["c2"]
+            x = _layer_norm(x + f, lw["g2"], lw["be2"])
+        x = (x * mask[:, :, None]).astype(np.float32)
+        fw = self._lstm(x, mask, 0, reverse=False)
+        bw = self._lstm(x, mask, 1, reverse=True)
+        return fw + bw
+
+
 def class_emissions(cls: np.ndarray, n_types: int) -> np.ndarray:
     """Emission scores from token-class ids.
 

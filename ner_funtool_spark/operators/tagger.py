@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..config import CODE_ETYPES, DOC_ETYPES, DOC_OBJ_WORDS, DOC_OP_WORDS, SEED
 from ..functions.crf import bmes_transitions, viterbi_decode_batch
 from ..functions.hashing import md5_int
-from ..functions.model import SeededBiLSTM, class_emissions
+from ..functions.model import SeededBertBiLSTM, SeededBiLSTM, class_emissions
 
 TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]")
 IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -294,7 +294,7 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                     tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
                 elif mode in ("neural", "cascade"):
                     if neural is None:
-                        neural = SeededBiLSTM(
+                        neural = SeededBertBiLSTM(
                             NEURAL_VOCAB, 1 + 4 * n_types,
                             n_attr=n_types + 1, seed=seed,
                         )
@@ -473,8 +473,8 @@ def tag_sequences(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
             else:
                 if neural is None:
-                    neural = SeededBiLSTM(NEURAL_VOCAB, 1 + 4 * n_types,
-                                          n_attr=n_types + 1, seed=seed)
+                    neural = SeededBertBiLSTM(NEURAL_VOCAB, 1 + 4 * n_types,
+                                              n_attr=n_types + 1, seed=seed)
                 ids = _ids_from_tokens(toks)
                 tags = _neural_decode(neural, ids, lens, n_types, mode)
             res = pdf.reset_index(drop=True).copy()

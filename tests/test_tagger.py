@@ -27,9 +27,12 @@ SENTS = [
 ]
 
 # committed decode-parity fixtures: sha256 over '|'.join(tags) per
-# sentence, '\n'-joined, for the seeded model (config.SEED)
-NEURAL_HASH = "e39f7e214a44f2c673aaa9b10c2ea3f269b5f69c00e3d59e494ad5c3925ae666"
-CASCADE_HASH = "09c03ab8868f693ee92bf044acba97c5d25297f4ae64a2503de6de9518122da1"
+# sentence, '\n'-joined, for the seeded model (config.SEED).
+# REGENERATED r3 when the neural encoder became SeededBertBiLSTM
+# (toy-BERT attention stack + BiLSTM, VERDICT r2 item 6); regenerate by
+# running tag_sequences over SENTS and hashing, as _tag_hash does.
+NEURAL_HASH = "090683d58d9bbb053d5932686e67f4d37c1097e90f62df52964e693da3da99fb"
+CASCADE_HASH = "70e901a722d9348d0c635db5577022d6ae064488ee8b55fae3c41262e063993f"
 
 
 def test_tokenizer_offsets_reconstruct_tokens():

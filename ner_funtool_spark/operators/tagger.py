@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import CODE_ETYPES, DOC_ETYPES, DOC_OBJ_WORDS, DOC_OP_WORDS, SEED
-from ..functions.crf import bmes_transitions, viterbi_decode_batch
+from ..functions.crf import (
+    bmes_transitions,
+    viterbi_decode_batch,
+    viterbi_decode_classes,
+)
 from ..functions.hashing import md5_int
-from ..functions.model import SeededBertBiLSTM, SeededBiLSTM, class_emissions
+from ..functions.model import EMIT_SCORE, SeededBertBiLSTM, SeededBiLSTM
 
 TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]")
 IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -281,8 +285,12 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 data, offs, utb, ute, ulens, tstart, tlen = fast
                 ucls = _classes_bytes(domain, data, tstart, tlen, ulens)
                 cls, tb, te, lens = ucls[codes], utb[codes], ute[codes], ulens[codes]
-                em = class_emissions(cls, n_types)
-                tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
+                # fused class-indicator Viterbi: no [B,S,V] emission
+                # cube (r3 memory-traffic lever, BENCH/BASELINE.md)
+                tags = viterbi_decode_classes(
+                    cls, n_types, trans_c, lens, start_c, end_c,
+                    emit_score=EMIT_SCORE,
+                )
                 uniques = None
             else:
                 uniques = enc.dictionary.to_pylist()
@@ -290,8 +298,10 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 toks, tb, te, lens = utoks[codes], utb[codes], ute[codes], ulens[codes]
                 if mode == "rules":
                     cls = class_fn(toks, lens)
-                    em = class_emissions(cls, n_types)
-                    tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
+                    tags = viterbi_decode_classes(
+                        cls, n_types, trans_c, lens, start_c, end_c,
+                        emit_score=EMIT_SCORE,
+                    )
                 elif mode in ("neural", "cascade"):
                     if neural is None:
                         neural = SeededBertBiLSTM(
@@ -469,8 +479,12 @@ def tag_sequences(df: DataFrame, *, domain: str = "code", mode: str = "rules",
             toks, _tb, _te, lens = tokenize_batch(sents, max_len)
             if mode == "rules":
                 cls = class_fn(toks, lens)
-                em = class_emissions(cls, n_types)
-                tags = viterbi_decode_batch(em, trans_c, lens, start_c, end_c)
+                # fused class-indicator Viterbi: no [B,S,V] emission
+                # cube (r3 memory-traffic lever, BENCH/BASELINE.md)
+                tags = viterbi_decode_classes(
+                    cls, n_types, trans_c, lens, start_c, end_c,
+                    emit_score=EMIT_SCORE,
+                )
             else:
                 if neural is None:
                     neural = SeededBertBiLSTM(NEURAL_VOCAB, 1 + 4 * n_types,

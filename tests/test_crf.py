@@ -136,3 +136,28 @@ def test_bmes_decoder_randomized_property():
                 want += [base + 1] + [base + 2] * (j - i - 1) + [base + 3]
             i = j + 1
         assert got == want, (cls_row, got, want)
+
+
+def test_fused_class_viterbi_equals_cube():
+    """viterbi_decode_classes == viterbi_decode_batch over materialized
+    class_emissions for random shapes (the r3 fused kernel is a pure
+    memory-traffic optimization, not a semantics change)."""
+    import numpy as np
+
+    from ner_funtool_spark.functions.crf import (
+        bmes_transitions,
+        viterbi_decode_batch,
+        viterbi_decode_classes,
+    )
+    from ner_funtool_spark.functions.model import EMIT_SCORE, class_emissions
+
+    rng = np.random.RandomState(11)
+    for _ in range(40):
+        B, S, NT = rng.randint(1, 16), rng.randint(1, 24), rng.randint(1, 4)
+        cls = rng.randint(0, NT + 1, size=(B, S)).astype(np.int8)
+        lens = rng.randint(1, S + 1, size=B)
+        trans, start, end = bmes_transitions(NT)
+        a = viterbi_decode_batch(class_emissions(cls, NT), trans, lens, start, end)
+        b = viterbi_decode_classes(cls, NT, trans, lens, start, end,
+                                   emit_score=EMIT_SCORE)
+        assert np.array_equal(a, b)

@@ -440,6 +440,55 @@ def _q_ann_ivf_trained_invariants(spark, sf_dir):
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+SAMPLE_DEFAULT = 0.1
+PACK_BUDGET = 256
+
+
+def _q_doc_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 hash bucket —
+    stable under corpus appends/restarts (operators/datasplit.py)."""
+    from ner_funtool_spark.operators.datasplit import assign_splits
+
+    return assign_splits(_docs(spark, sf_dir), SPLIT_WEIGHTS).select(
+        "doc_id", "source", "split"
+    )
+
+
+def _q_doc_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (data mixing): named sources
+    keep 100%/50%/20%, everything else the 10% default."""
+    from ner_funtool_spark.operators.datasplit import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _q_doc_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token bins, packed
+    per source stratum (partition-local window cumsum)."""
+    from ner_funtool_spark.operators.datasplit import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), PACK_BUDGET)
+
+
+def _q_triples_degrees_salted(spark, sf_dir):
+    """Skewed subj keys (Zipf repos) joined with the subj out-degree
+    dimension through an 8-way SALTED join (operators/joins.py) —
+    result gated against the plain-join oracle, proving salting changes
+    partitioning only."""
+    from ner_funtool_spark.operators.joins import salted_join
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    trip = build_triples(src, domain="doc", mode="rules").select(
+        "subj", "pred", "obj"
+    ).persist()
+    deg = trip.groupBy("subj").agg(F.count("*").alias("out_deg"))
+    return salted_join(trip, deg, ["subj"], n_salt=8)
+
+
 def _q_kg_mentions_neural(spark, sf_dir):
     """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
     driver check); decode parity is pinned by fixtures in pytest."""
@@ -787,6 +836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_docs": _q_dedup_keep_docs,
         "dedup_keep_docs_longest": _q_dedup_keep_docs_longest,
+        "doc_splits": _q_doc_splits,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_packing": _q_doc_packing,
+        "triples_degrees_salted": _q_triples_degrees_salted,
         "ann_ivf_trained_invariants": _q_ann_ivf_trained_invariants,
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
@@ -861,6 +914,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         "dedup_keep_docs_longest": oracles.dedup_keep_docs_longest_sql(JACCARD_T),
+        "doc_splits": oracles.doc_splits_sql(SPLIT_WEIGHTS),
+        "doc_sample_stratified": oracles.doc_sample_stratified_sql(
+            SAMPLE_RATES, SAMPLE_DEFAULT
+        ),
+        "doc_packing": oracles.doc_packing_sql(PACK_BUDGET),
+        "triples_degrees_salted": oracles.triples_degrees_salted_sql(),
         "ann_ivf_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

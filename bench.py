@@ -53,9 +53,11 @@ def main() -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     src = spark.read.parquet(stage_dir)
     build_triples(src.limit(2000), mode="rules").count()  # warm workers
-    # min of 3: the host shows steal-time spikes (BENCH/BASELINE.md)
+    # min of 5: the host shows steal-time spikes AND slow multi-minute
+    # throughput drift (r3 measured the same kernel 12% apart an hour
+    # apart with vmstat 100% idle) — more reps tighten the min estimator
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         n_triples = build_triples(src, mode="rules").count()
         walls.append(time.time() - t0)

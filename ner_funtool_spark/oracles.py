@@ -859,6 +859,88 @@ SELECT doc_id, source, lang, n_chars FROM rn WHERE rn = 1
 """
 
 
+def _bucket_sql(salt: str) -> str:
+    """DuckDB form of datasplit._bucket: md5 prefix hash of salt|id
+    mod 10000 (functions/hashing.py cross-engine contract)."""
+    h = H_SQL.format(x=f"'{salt}' || '|' || doc_id::VARCHAR")
+    return f"({h} % 10000)"
+
+
+def doc_splits_sql(weights: dict, salt: str = "split_v1") -> str:
+    """Mirror of datasplit.assign_splits: cumulative integer bucket
+    edges over the 10,000-bucket hash."""
+    total = sum(weights.values())
+    b = _bucket_sql(salt)
+    case = "CASE"
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w / total
+        case += f" WHEN {b} < {int(round(acc * 10000))} THEN '{label}'"
+    case += f" ELSE '{labels[-1][0]}' END"
+    return f"SELECT doc_id, source, {case} AS split FROM documents"
+
+
+def doc_sample_stratified_sql(rates: dict, default_rate: float,
+                              salt: str = "sample_v1") -> str:
+    """Mirror of datasplit.stratified_sample."""
+    b = _bucket_sql(salt)
+    case = "CASE"
+    for stratum, rate in rates.items():
+        case += (f" WHEN source = '{stratum}' THEN {b} <"
+                 f" {int(round(rate * 10000))}")
+    case += f" ELSE {b} < {int(round(default_rate * 10000))} END"
+    return f"SELECT doc_id, source FROM documents WHERE {case}"
+
+
+def doc_packing_sql(budget: int) -> str:
+    """Mirror of datasplit.pack_documents: per-source concat-and-chunk
+    window cumsum."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens::INT AS n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+    FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       (cum_before // {budget})::BIGINT AS pack_id,
+       (cum_before % {budget})::INT AS start_off
+FROM cum
+"""
+
+
+def triples_degrees_salted_sql() -> str:
+    """PLAIN join oracle for the salted join: triples x subj
+    out-degree.  A hash match proves salting is partitioning-only."""
+    return f"""
+WITH {doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo
+    FROM documents
+),
+triples AS (
+    SELECT m.repo || '/' || m.path AS subj,
+           CASE m.etype WHEN 'op' THEN 'MENTIONS_OP'
+                ELSE 'MENTIONS_OBJ' END AS pred,
+           m.text AS obj
+    FROM mention_rows m
+    UNION ALL
+    SELECT repo AS subj, 'CONTAINS' AS pred, repo || '/' || path AS obj
+    FROM doc_sha
+),
+deg AS (SELECT subj, count(*) AS out_deg FROM triples GROUP BY subj)
+SELECT t.subj, t.pred, t.obj, d.out_deg::BIGINT AS out_deg
+FROM triples t JOIN deg d USING (subj)
+"""
+
+
 def ann_ivf_trained_invariants_sql() -> str:
     """Typed empty oracle for the trained-IVF invariants query: the
     k-means trainer cannot be expressed in SQL (no centroid literals

@@ -786,6 +786,41 @@ def _q_triples_upsert_bloom(spark, sf_dir):
     return _q_triples_upsert(spark, sf_dir, bloom=True)
 
 
+def _q_triples_history_scd2(spark, sf_dir):
+    """Temporal KG maintenance (SCD2): the triples HISTORY table after
+    a v2 batch that changes 1-in-5 docs' provenance (close + reopen),
+    re-emits 1-in-11 unchanged (no-op branch), and adds brand-new keys
+    for 1-in-7 (open-only branch).  Every fact row carries
+    [valid_from, valid_to); the oracle replays the same MERGE in SQL."""
+    from ner_funtool_spark.operators.upsert import scd2_upsert
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules")
+    base = t.select(
+        "subj", "pred", "obj", "repo", "content_sha",
+        F.regexp_extract(F.col("provenance.path"), r"docs/(\d+)\.txt", 1)
+        .cast("long").alias("doc_id"),
+    ).distinct().persist()
+    cols = ["subj", "pred", "obj", "repo", "content_sha"]
+    history = (
+        base.select(*cols).distinct()
+        .withColumn("valid_from", F.lit("v1"))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+    )
+    changed = base.filter(F.col("doc_id") % 5 == 0).select(*cols).withColumn(
+        "content_sha", F.concat(F.lit("new:"), F.col("content_sha"))
+    )
+    same = base.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 11 == 0)
+    ).select(*cols)
+    newk = base.filter(F.col("doc_id") % 7 == 0).select(*cols).withColumn(
+        "obj", F.concat(F.col("obj"), F.lit("_x"))
+    )
+    incoming = changed.unionByName(same).unionByName(newk).distinct()
+    return scd2_upsert(history, incoming, compare_cols=("content_sha",),
+                       version="v2")
+
+
 def _q_kg_repo_rollup(spark, sf_dir):
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
@@ -853,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "triples_upsert": _q_triples_upsert,
         "triples_upsert_bloom": _q_triples_upsert_bloom,
+        "triples_history_scd2": _q_triples_history_scd2,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
@@ -904,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracles.kg_pagerank_sql(),
         "triples_upsert": oracles.triples_upsert_sql(),
         "triples_upsert_bloom": oracles.triples_upsert_sql(),
+        "triples_history_scd2": oracles.triples_history_scd2_sql(),
         "kg_canonical_triples": oracles.kg_canonical_triples_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),

@@ -124,6 +124,72 @@ def latest_per_key(df: DataFrame, key_cols=TRIPLE_KEY,
     ).select(*df.columns)
 
 
+def scd2_upsert(history: DataFrame, incoming: DataFrame,
+                key_cols=TRIPLE_KEY, compare_cols=("content_sha",),
+                version: str = "v2",
+                valid_from_col: str = "valid_from",
+                valid_to_col: str = "valid_to") -> DataFrame:
+    """Type-2 slowly-changing-dimension MERGE over a triples HISTORY
+    table — the temporal-KG maintenance shape (every fact carries
+    [valid_from, valid_to); valid_to NULL = current).
+
+    Semantics per key of ``incoming`` (one row per key, e.g. via
+    latest_per_key):
+
+    * current row exists and ``compare_cols`` differ -> the current row
+      CLOSES (valid_to = version) and the incoming row opens as the new
+      current (valid_from = version);
+    * current row exists and values are identical -> no-op (the current
+      row stays open, no duplicate history);
+    * no current row -> the incoming row opens as current;
+    * already-closed history rows always pass through unchanged.
+
+    One full-outer join of the CURRENT slice against the incoming keys
+    + the untouched closed slice — the same join budget as a plain
+    MERGE.  At scale the closed slice is the bulk of the table and is
+    never shuffled (pure pass-through union), so maintenance cost
+    follows the CURRENT set + update size, not history length.
+    """
+    keys = list(key_cols)
+    cmps = list(compare_cols)
+    cur = history.filter(F.col(valid_to_col).isNull())
+    closed = history.filter(F.col(valid_to_col).isNotNull())
+    inc = incoming.select(
+        *keys, *[F.col(c).alias(f"_in_{c}") for c in cmps],
+        *[F.col(c).alias(f"_in_{c}") for c in incoming.columns
+          if c not in keys and c not in cmps],
+        F.lit(True).alias("_in_flag"),
+    )
+    other_cols = [c for c in incoming.columns if c not in keys and c not in cmps]
+    j = cur.join(inc, keys, "full_outer")
+    # presence markers survive NULL data values: valid_from is non-null
+    # on every real current row (table contract); _in_flag is a literal
+    has_cur = F.col(valid_from_col).isNotNull()
+    has_inc = F.col("_in_flag").isNotNull()
+    changed = has_cur & has_inc & (
+        sum(
+            [(~F.col(c).eqNullSafe(F.col(f"_in_{c}"))).cast("int") for c in cmps],
+            F.lit(0),
+        ) > 0
+    )
+    # surviving current rows: unmatched, or matched-identical
+    keep_cur = j.filter(has_cur & (~has_inc | ~changed)).select(*history.columns)
+    # matched-changed current rows close at `version`
+    close_cur = j.filter(changed).select(
+        *[F.col(c) for c in history.columns if c != valid_to_col],
+        F.lit(version).alias(valid_to_col),
+    ).select(*history.columns)
+    # new current rows: matched-changed or brand-new keys
+    open_new = j.filter(has_inc & (changed | ~has_cur)).select(
+        *keys,
+        *[F.col(f"_in_{c}").alias(c) for c in cmps],
+        *[F.col(f"_in_{c}").alias(c) for c in other_cols],
+        F.lit(version).alias(valid_from_col),
+        F.lit(None).cast("string").alias(valid_to_col),
+    ).select(*history.columns)
+    return closed.unionByName(keep_cur).unionByName(close_cur).unionByName(open_new)
+
+
 def upsert_triples(existing: DataFrame, incoming: DataFrame,
                    key_cols=TRIPLE_KEY,
                    version_col: str = "commit",

@@ -941,6 +941,66 @@ FROM triples t JOIN deg d USING (subj)
 """
 
 
+def triples_history_scd2_sql() -> str:
+    """SQL replay of the SCD2 MERGE (operators/upsert.py:scd2_upsert)
+    over the same v1 history + v2 batch the Spark query constructs:
+    matched-changed keys close at v2 and reopen, matched-identical keys
+    no-op, new keys open; presence tests use valid_from/content_sha
+    non-null (table contract)."""
+    return f"""
+WITH {doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo,
+           sha256(text) AS content_sha, doc_id
+    FROM documents
+),
+base AS (
+    SELECT DISTINCT m.repo || '/' || m.path AS subj,
+           CASE m.etype WHEN 'op' THEN 'MENTIONS_OP'
+                ELSE 'MENTIONS_OBJ' END AS pred,
+           m.text AS obj, m.repo AS repo, d.content_sha, d.doc_id
+    FROM mention_rows m JOIN doc_sha d ON m.path = d.path AND m.repo = d.repo
+    UNION
+    SELECT DISTINCT repo AS subj, 'CONTAINS' AS pred,
+           repo || '/' || path AS obj, repo, content_sha, doc_id
+    FROM doc_sha
+),
+history AS (
+    SELECT DISTINCT subj, pred, obj, repo, content_sha,
+           'v1' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM base
+),
+inc AS (
+    SELECT DISTINCT * FROM (
+        SELECT subj, pred, obj, repo, 'new:' || content_sha AS content_sha
+        FROM base WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT subj, pred, obj, repo, content_sha
+        FROM base WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0
+        UNION ALL
+        SELECT subj, pred, obj || '_x' AS obj, repo, content_sha
+        FROM base WHERE doc_id % 7 = 0
+    )
+)
+-- surviving current rows: no incoming match, or matched-identical
+SELECT h.subj, h.pred, h.obj, h.repo, h.content_sha, h.valid_from, h.valid_to
+FROM history h LEFT JOIN inc i USING (subj, pred, obj)
+WHERE i.content_sha IS NULL OR i.content_sha = h.content_sha
+UNION ALL
+-- matched-changed current rows close at v2
+SELECT h.subj, h.pred, h.obj, h.repo, h.content_sha, h.valid_from,
+       'v2' AS valid_to
+FROM history h JOIN inc i USING (subj, pred, obj)
+WHERE i.content_sha <> h.content_sha
+UNION ALL
+-- new current rows: matched-changed or brand-new keys
+SELECT i.subj, i.pred, i.obj, i.repo, i.content_sha,
+       'v2' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+FROM inc i LEFT JOIN history h USING (subj, pred, obj)
+WHERE h.valid_from IS NULL OR h.content_sha <> i.content_sha
+"""
+
+
 def ann_ivf_trained_invariants_sql() -> str:
     """Typed empty oracle for the trained-IVF invariants query: the
     k-means trainer cannot be expressed in SQL (no centroid literals

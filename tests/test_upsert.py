@@ -94,3 +94,42 @@ def test_upsert_bloom_identical_result(spark):
     plain = sorted(map(tuple, upsert_triples(existing, incoming).collect()))
     bloomed = sorted(map(tuple, upsert_triples(existing, incoming, bloom=True).collect()))
     assert plain == bloomed
+
+
+def test_scd2_upsert_all_branches(spark):
+    from pyspark.sql import functions as F
+
+    from ner_funtool_spark.operators.upsert import scd2_upsert
+
+    hist_schema = ("subj string, pred string, obj string, repo string, "
+                   "content_sha string, valid_from string, valid_to string")
+    history = spark.createDataFrame(
+        [
+            ("a", "P", "x", "r1", "s1", "v1", None),    # will change
+            ("b", "P", "y", "r1", "s2", "v1", None),    # identical re-emit
+            ("c", "P", "z", "r2", "s3", "v1", None),    # untouched
+            ("d", "P", "w", "r2", "s0", "v0", "v1"),    # already closed
+        ],
+        hist_schema,
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("a", "P", "x", "r1", "s1new"),   # changed value
+            ("b", "P", "y", "r1", "s2"),      # no-op
+            ("e", "P", "q", "r3", "s9"),      # brand-new key
+        ],
+        "subj string, pred string, obj string, repo string, content_sha string",
+    )
+    out = scd2_upsert(history, incoming, version="v2")
+    rows = {(r["subj"], r["valid_from"]): (r["content_sha"], r["valid_to"])
+            for r in out.collect()}
+    assert out.count() == 6
+    assert rows[("a", "v1")] == ("s1", "v2")      # closed at v2
+    assert rows[("a", "v2")] == ("s1new", None)   # reopened
+    assert rows[("b", "v1")] == ("s2", None)      # no-op stays current
+    assert rows[("c", "v1")] == ("s3", None)      # untouched current
+    assert rows[("d", "v0")] == ("s0", "v1")      # closed history intact
+    assert rows[("e", "v2")] == ("s9", None)      # new key opens
+    # current slice is key-unique
+    cur = out.filter(F.col("valid_to").isNull())
+    assert cur.count() == cur.select("subj", "pred", "obj").distinct().count()

@@ -821,6 +821,32 @@ def _q_triples_history_scd2(spark, sf_dir):
                        version="v2")
 
 
+def _q_triples_snapshot_v1(spark, sf_dir):
+    """Time travel over the SCD2 history: reading the v2-merged history
+    AS OF v1 must recover the original v1 triple set exactly — the
+    oracle is the v1 table itself, so a hash match proves the whole
+    close/reopen bookkeeping roundtrips."""
+    from ner_funtool_spark.operators.upsert import snapshot_at
+
+    hist = _q_triples_history_scd2(spark, sf_dir)
+    return snapshot_at(hist, "v1")
+
+
+def _q_doc_len_quantiles(spark, sf_dir):
+    """Per-source corpus length statistics (the profile a data-mixing
+    pipeline reads before choosing rates): exact interpolated quartiles
+    — Spark percentile() and DuckDB quantile_cont share the definition,
+    verified to the 6th decimal."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.25), 6).alias("p25"),
+        F.round(F.percentile("n_chars", 0.5), 6).alias("p50"),
+        F.round(F.percentile("n_chars", 0.75), 6).alias("p75"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 def _q_kg_repo_rollup(spark, sf_dir):
     src = documents_as_source(_docs(spark, sf_dir))
     t = build_triples(src, domain="doc", mode="rules")
@@ -889,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_upsert": _q_triples_upsert,
         "triples_upsert_bloom": _q_triples_upsert_bloom,
         "triples_history_scd2": _q_triples_history_scd2,
+        "triples_snapshot_v1": _q_triples_snapshot_v1,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
@@ -941,6 +969,8 @@ def oracle_sql() -> dict[str, str]:
         "triples_upsert": oracles.triples_upsert_sql(),
         "triples_upsert_bloom": oracles.triples_upsert_sql(),
         "triples_history_scd2": oracles.triples_history_scd2_sql(),
+        "triples_snapshot_v1": oracles.triples_snapshot_v1_sql(),
+        "doc_len_quantiles": oracles.doc_len_quantiles_sql(),
         "kg_canonical_triples": oracles.kg_canonical_triples_sql(),
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),

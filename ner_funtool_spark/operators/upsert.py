@@ -190,6 +190,23 @@ def scd2_upsert(history: DataFrame, incoming: DataFrame,
     return closed.unionByName(keep_cur).unionByName(close_cur).unionByName(open_new)
 
 
+def snapshot_at(history: DataFrame, version: str,
+                valid_from_col: str = "valid_from",
+                valid_to_col: str = "valid_to") -> DataFrame:
+    """Time-travel read over an SCD2 history: the fact set visible AT
+    ``version`` — rows whose validity interval covers it
+    (valid_from <= version < valid_to, NULL valid_to = open).  A pure
+    partition-pruned filter: with the history written partitioned (or
+    sorted) by validity, a snapshot read touches only covering row
+    groups.  Versions compare as strings; use zero-padded or timestamp
+    versions in production.  Invariant (driver-gated):
+    ``snapshot_at(scd2_upsert(H_v1, ...), "v1") == H_v1``."""
+    return history.filter(
+        (F.col(valid_from_col) <= version)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > version))
+    ).drop(valid_from_col, valid_to_col)
+
+
 def upsert_triples(existing: DataFrame, incoming: DataFrame,
                    key_cols=TRIPLE_KEY,
                    version_col: str = "commit",

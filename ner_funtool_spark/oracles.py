@@ -1001,6 +1001,43 @@ WHERE h.valid_from IS NULL OR h.content_sha <> i.content_sha
 """
 
 
+def triples_snapshot_v1_sql() -> str:
+    """Time-travel invariant oracle: the SCD2 history read AS OF v1 is
+    exactly the original v1 triple table (base, key-distinct)."""
+    return f"""
+WITH {doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo,
+           sha256(text) AS content_sha
+    FROM documents
+)
+SELECT DISTINCT * FROM (
+    SELECT m.repo || '/' || m.path AS subj,
+           CASE m.etype WHEN 'op' THEN 'MENTIONS_OP'
+                ELSE 'MENTIONS_OBJ' END AS pred,
+           m.text AS obj, m.repo AS repo, d.content_sha
+    FROM mention_rows m JOIN doc_sha d ON m.path = d.path AND m.repo = d.repo
+    UNION ALL
+    SELECT repo AS subj, 'CONTAINS' AS pred, repo || '/' || path AS obj,
+           repo, content_sha
+    FROM doc_sha
+)
+"""
+
+
+def doc_len_quantiles_sql() -> str:
+    """Per-source quartiles of n_chars; quantile_cont matches Spark's
+    percentile() interpolation exactly (verified to 6 decimals)."""
+    return """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 def ann_ivf_trained_invariants_sql() -> str:
     """Typed empty oracle for the trained-IVF invariants query: the
     k-means trainer cannot be expressed in SQL (no centroid literals

@@ -133,3 +133,27 @@ def test_scd2_upsert_all_branches(spark):
     # current slice is key-unique
     cur = out.filter(F.col("valid_to").isNull())
     assert cur.count() == cur.select("subj", "pred", "obj").distinct().count()
+
+
+def test_scd2_snapshot_roundtrip(spark):
+    from ner_funtool_spark.operators.upsert import scd2_upsert, snapshot_at
+
+    hist_schema = ("subj string, pred string, obj string, repo string, "
+                   "content_sha string, valid_from string, valid_to string")
+    v1 = spark.createDataFrame(
+        [("a", "P", "x", "r1", "s1", "v1", None),
+         ("b", "P", "y", "r1", "s2", "v1", None)],
+        hist_schema,
+    )
+    incoming = spark.createDataFrame(
+        [("a", "P", "x", "r1", "s1new"), ("e", "P", "q", "r3", "s9")],
+        "subj string, pred string, obj string, repo string, content_sha string",
+    )
+    merged = scd2_upsert(v1, incoming, version="v2")
+    # as-of v1 recovers exactly the original fact set
+    back = sorted(map(tuple, snapshot_at(merged, "v1").collect()))
+    want = sorted(map(tuple, v1.drop("valid_from", "valid_to").collect()))
+    assert back == want
+    # as-of v2 sees the new current facts
+    now = {r["subj"]: r["content_sha"] for r in snapshot_at(merged, "v2").collect()}
+    assert now == {"a": "s1new", "b": "s2", "e": "s9"}

@@ -489,6 +489,24 @@ def _q_triples_degrees_salted(spark, sf_dir):
     return salted_join(trip, deg, ["subj"], n_salt=8)
 
 
+TRAIN_MIN_QUALITY = 0.70
+
+
+def _q_training_corpus(spark, sf_dir):
+    """The end-to-end training-corpus materialization (plans/corpus.py):
+    quality filter (>= 0.70) -> keep-longest near-dup removal ->
+    stratified sampling -> deterministic splits.  One composed oracle
+    gates the STAGE INTERACTIONS, not just each operator alone."""
+    from ner_funtool_spark.plans.corpus import build_training_corpus
+
+    return build_training_corpus(
+        _docs(spark, sf_dir),
+        min_quality=TRAIN_MIN_QUALITY, jaccard_t=JACCARD_T,
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT,
+        weights=SPLIT_WEIGHTS,
+    )
+
+
 def _q_kg_mentions_neural(spark, sf_dir):
     """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
     driver check); decode parity is pinned by fixtures in pytest."""
@@ -900,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_splits": _q_doc_splits,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "doc_packing": _q_doc_packing,
+        "training_corpus": _q_training_corpus,
         "triples_degrees_salted": _q_triples_degrees_salted,
         "ann_ivf_trained_invariants": _q_ann_ivf_trained_invariants,
         "kg_mentions_neural": _q_kg_mentions_neural,
@@ -986,6 +1005,10 @@ def oracle_sql() -> dict[str, str]:
             SAMPLE_RATES, SAMPLE_DEFAULT
         ),
         "doc_packing": oracles.doc_packing_sql(PACK_BUDGET),
+        "training_corpus": oracles.training_corpus_sql(
+            TRAIN_MIN_QUALITY, JACCARD_T, SAMPLE_RATES, SAMPLE_DEFAULT,
+            SPLIT_WEIGHTS, _ts().STOPWORDS,
+        ),
         "triples_degrees_salted": oracles.triples_degrees_salted_sql(),
         "ann_ivf_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no

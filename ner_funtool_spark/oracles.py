@@ -362,17 +362,19 @@ FROM h JOIN g USING (h) WHERE g.n > 1 AND h.doc_id <> g.keep_id
 """
 
 
-def _shingles_cte(k: int = 3, max_df: int = 1000) -> str:
+def _shingles_cte(k: int = 3, max_df: int = 1000,
+                  src: str = "documents") -> str:
     """Shingle table + df-capped candidate blocking + exact-jaccard
     verify (mirrors operators/dedup.py: candidates come only from
-    shingles with document frequency <= max_df; scores use full sets)."""
+    shingles with document frequency <= max_df; scores use full sets).
+    ``src``: source relation (a CTE name for composed pipelines)."""
     return f"""
 sh AS (
     SELECT doc_id, unnest(list_distinct(
         list_transform(range(len(l) - {k - 1}),
                        i -> array_to_string(list_slice(l, i + 1, i + {k}), ' '))
     )) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM {src})
     WHERE len(l) >= {k}
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -866,9 +868,8 @@ def _bucket_sql(salt: str) -> str:
     return f"({h} % 10000)"
 
 
-def doc_splits_sql(weights: dict, salt: str = "split_v1") -> str:
-    """Mirror of datasplit.assign_splits: cumulative integer bucket
-    edges over the 10,000-bucket hash."""
+def _split_case_sql(weights: dict, salt: str) -> str:
+    """CASE expression assigning a split label from the hash bucket."""
     total = sum(weights.values())
     b = _bucket_sql(salt)
     case = "CASE"
@@ -877,19 +878,30 @@ def doc_splits_sql(weights: dict, salt: str = "split_v1") -> str:
     for label, w in labels[:-1]:
         acc += w / total
         case += f" WHEN {b} < {int(round(acc * 10000))} THEN '{label}'"
-    case += f" ELSE '{labels[-1][0]}' END"
+    return case + f" ELSE '{labels[-1][0]}' END"
+
+
+def _sample_case_sql(rates: dict, default_rate: float, salt: str) -> str:
+    """Boolean CASE keeping each row at its stratum's rate."""
+    b = _bucket_sql(salt)
+    case = "CASE"
+    for stratum, rate in rates.items():
+        case += (f" WHEN source = '{stratum}' THEN {b} <"
+                 f" {int(round(rate * 10000))}")
+    return case + f" ELSE {b} < {int(round(default_rate * 10000))} END"
+
+
+def doc_splits_sql(weights: dict, salt: str = "split_v1") -> str:
+    """Mirror of datasplit.assign_splits: cumulative integer bucket
+    edges over the 10,000-bucket hash."""
+    case = _split_case_sql(weights, salt)
     return f"SELECT doc_id, source, {case} AS split FROM documents"
 
 
 def doc_sample_stratified_sql(rates: dict, default_rate: float,
                               salt: str = "sample_v1") -> str:
     """Mirror of datasplit.stratified_sample."""
-    b = _bucket_sql(salt)
-    case = "CASE"
-    for stratum, rate in rates.items():
-        case += (f" WHEN source = '{stratum}' THEN {b} <"
-                 f" {int(round(rate * 10000))}")
-    case += f" ELSE {b} < {int(round(default_rate * 10000))} END"
+    case = _sample_case_sql(rates, default_rate, salt)
     return f"SELECT doc_id, source FROM documents WHERE {case}"
 
 
@@ -1035,6 +1047,58 @@ SELECT source, count(*) AS n_docs,
        round(quantile_cont(n_chars, 0.75), 6) AS p75,
        sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY source
+"""
+
+
+def training_corpus_sql(min_quality: float, jaccard_t: float,
+                        rates: dict, default_rate: float, weights: dict,
+                        stopwords) -> str:
+    """Composed replay of plans/corpus.py:build_training_corpus —
+    quality filter -> keep-longest near-dup removal (recursive CC over
+    the FILTERED corpus) -> stratified sample -> split assignment.
+    The stage interaction is what this gates: quality runs first, so
+    the dedup cluster graph must be computed on the filtered set."""
+    stop_list = ", ".join(f"'{w}'" for w in stopwords)
+    sample_case = _sample_case_sql(rates, default_rate, "sample_v1")
+    split_case = _split_case_sql(weights, "split_v1")
+    return f"""
+WITH RECURSIVE docs_q AS (
+    SELECT doc_id, source, n_chars, text, quality FROM (
+        SELECT doc_id, source, n_chars, text,
+               round(0.4 * least(n / 64.0, 1.0)
+                     + 0.3 * (len(list_distinct(toks)) * 1.0 / n)
+                     + 0.3 * (1 - len(list_filter(toks,
+                                t -> t IN ({stop_list}))) * 1.0 / n), 6)
+                   AS quality
+        FROM (SELECT *, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents)
+    ) WHERE quality >= {min_quality}
+),
+{_shingles_cte(src="docs_q")},
+edges AS (SELECT a, b FROM jac_pairs WHERE jac >= {jaccard_t}),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+reach(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.lbl
+    FROM reach r JOIN edges e ON r.node IN (e.a, e.b)
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY node),
+dd AS (
+    SELECT q.doc_id, q.source, q.n_chars, q.quality,
+           coalesce(c.cid, q.doc_id) AS cid
+    FROM docs_q q LEFT JOIN comp c USING (doc_id)
+),
+keep AS (
+    SELECT doc_id, source, quality FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM dd
+    ) WHERE rn = 1
+),
+sampled AS (SELECT * FROM keep WHERE {sample_case})
+SELECT doc_id, source, quality, {split_case} AS split FROM sampled
 """
 
 

@@ -81,3 +81,44 @@ def test_salted_join_equals_plain_join(spark):
         "_s", FF.pmod(FF.xxhash64("k", "v"), FF.lit(4)))
         .filter(FF.col("k") == "k1").select("_s").distinct().count())
     assert salts > 1
+
+
+def test_degenerate_inputs(spark):
+    """Empty and single-row corpora flow through the dataset-management
+    stack without errors (the 100 TB pipeline's first failure mode is a
+    partition that happens to be empty)."""
+    import pyspark.sql.functions as FF
+
+    from ner_funtool_spark.operators.upsert import scd2_upsert, snapshot_at
+    from ner_funtool_spark.plans.corpus import build_training_corpus
+
+    schema = "doc_id long, source string, lang string, text string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, "s0", "en", "join table", 10)], schema)
+
+    kwargs = dict(min_quality=0.0, jaccard_t=0.5,
+                  rates={"s0": 1.0}, default_rate=0.0,
+                  weights={"train": 0.9, "test": 0.1})
+    assert build_training_corpus(empty, **kwargs).count() == 0
+    got = build_training_corpus(one, **kwargs).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+
+    assert assign_splits(empty, {"a": 1.0}).count() == 0
+    assert stratified_sample(empty, {"s0": 1.0}).count() == 0
+    assert pack_documents(empty, 64).count() == 0
+    assert pack_documents(one, 64).collect()[0]["pack_id"] == 0
+
+    hist_schema = ("subj string, pred string, obj string, repo string, "
+                   "content_sha string, valid_from string, valid_to string")
+    ehist = spark.createDataFrame([], hist_schema)
+    einc = spark.createDataFrame(
+        [], "subj string, pred string, obj string, repo string, content_sha string")
+    assert scd2_upsert(ehist, einc).count() == 0
+    # empty history + one incoming row opens one current fact
+    inc1 = spark.createDataFrame(
+        [("a", "P", "x", "r", "s")],
+        "subj string, pred string, obj string, repo string, content_sha string")
+    out = scd2_upsert(ehist, inc1, version="v1")
+    assert out.count() == 1
+    assert snapshot_at(out, "v1").count() == 1
+    assert out.filter(FF.col("valid_to").isNull()).count() == 1

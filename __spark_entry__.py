@@ -616,7 +616,7 @@ def _q_wordpiece_invariants(spark, sf_dir):
     return out
 
 
-def _wordpiece_feats_arrays(spark, sf_dir):
+def _wordpiece_feats_arrays(spark, sf_dir, word_suffix: str = ""):
     """Reference flagship encode path (run_bert_crf.py:340-433) as a
     Spark stage: corpus-derived WordPiece vocab (broadcast), greedy
     subword split memoized per unique word, first-piece label
@@ -634,10 +634,15 @@ def _wordpiece_feats_arrays(spark, sf_dir):
     # min_freq=500 deliberately drops the corpus's rare token ("dup",
     # freq 26 at sf0.01) from the whole-token vocab so the greedy
     # subword split (d ##u ##p) is exercised at the driver gate, not
-    # only in pytest fixtures
+    # only in pytest fixtures.  The vocab ALWAYS derives from the
+    # original corpus; a non-empty word_suffix transforms the encoded
+    # words so every word needs a real multi-char greedy prefix split
+    # (e.g. "joinx" -> join ##x).
     vocab = corpus_vocab(d, min_freq=500)
     label_map = build_label_map(["op", "obj"])
     words = F.split(F.col("text"), " ")
+    if word_suffix:
+        words = F.transform(words, lambda w: F.concat(w, F.lit(word_suffix)))
     labels = F.transform(
         words,
         lambda w: F.when(w.isin(*list(DOC_OP_WORDS)), "op")
@@ -651,7 +656,7 @@ def _wordpiece_feats_arrays(spark, sf_dir):
     return feats.select("doc_id", "tokens", "input_ids", "input_mask", "label_ids")
 
 
-def _q_wordpiece_features(spark, sf_dir):
+def _q_wordpiece_features(spark, sf_dir, word_suffix: str = ""):
     """WordPiece features exploded to one scalar row per (doc, pos):
     (doc_id, pos, token, input_id, input_mask, label_id).  Scalar
     columns canonicalize in the driver's pandas sort (the r2 array form
@@ -659,7 +664,7 @@ def _q_wordpiece_features(spark, sf_dir):
     truncation, [CLS]/[SEP] wrap, first-piece label alignment, padding
     — is value-hash-checked against a full DuckDB oracle
     (oracles.wordpiece_features_sql)."""
-    feats = _wordpiece_feats_arrays(spark, sf_dir)
+    feats = _wordpiece_feats_arrays(spark, sf_dir, word_suffix)
     p1 = F.col("pos") + 1
     return feats.select(
         "doc_id",
@@ -674,6 +679,26 @@ def _q_wordpiece_features(spark, sf_dir):
         F.element_at("input_mask", p1).cast("int").alias("input_mask"),
         F.element_at("label_ids", p1).cast("int").alias("label_id"),
     )
+
+
+def _q_wordpiece_features_subword(spark, sf_dir):
+    """Same encode stage with every word suffixed 'x' while the vocab
+    stays corpus-derived — EVERY word now takes the greedy multi-char
+    prefix path (longest vocab prefix + ##x), so the oracle's
+    longest-prefix logic is exercised on all rows, not only the one
+    rare token."""
+    return _q_wordpiece_features(spark, sf_dir, word_suffix="x")
+
+
+def _q_kg_comention(spark, sf_dir):
+    """Entity co-occurrence edges (a, b, n_docs) over the flagship
+    mentions — the related-entities edge list embedding trainers use;
+    per-document bounded self-join, one pair aggregation."""
+    from ner_funtool_spark.operators.graph import comention_edges
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    return comention_edges(m)
 
 
 def _q_asof_join(spark, sf_dir):
@@ -927,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_cascade_invariants": _q_kg_mentions_cascade_invariants,
         "wordpiece_features": _q_wordpiece_features,
         "wordpiece_invariants": _q_wordpiece_invariants,
+        "wordpiece_features_subword": _q_wordpiece_features_subword,
+        "kg_comention": _q_kg_comention,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "kg_degrees": _q_kg_degrees,
@@ -997,6 +1024,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_cascade_invariants": oracles.neural_invariants_sql(),
         "wordpiece_invariants": oracles.wordpiece_invariants_sql(),
         "wordpiece_features": oracles.wordpiece_features_sql(min_freq=500),
+        "wordpiece_features_subword": oracles.wordpiece_features_sql(
+            min_freq=500, word_suffix="x"
+        ),
+        "kg_comention": oracles.kg_comention_sql(),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         "dedup_keep_docs_longest": oracles.dedup_keep_docs_longest_sql(JACCARD_T),

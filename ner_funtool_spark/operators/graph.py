@@ -51,6 +51,30 @@ def degrees(edges: DataFrame, src_col: str = "src",
     )
 
 
+def comention_edges(mentions: DataFrame, doc_cols=("repo", "path"),
+                    text_col: str = "text") -> DataFrame:
+    """Entity co-occurrence edges: (a, b, n_docs) for every unordered
+    pair of DISTINCT entities mentioned in the same document, weighted
+    by the number of documents co-mentioning them — the edge list
+    entity-embedding / related-entities features train on.
+
+    Per-document distinct-entity self-join: the join key is the doc id,
+    so pair count per doc is bounded by (distinct entities per doc)^2 —
+    document-length-bounded, never corpus-quadratic; one groupBy on the
+    (a, b) pair aggregates the weights.
+    """
+    d = list(doc_cols)
+    ents = mentions.select(*d, F.col(text_col).alias("e")).distinct()
+    a = ents.select(*d, F.col("e").alias("a"))
+    b = ents.select(*d, F.col("e").alias("b"))
+    return (
+        a.join(b, d)
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              iterations: int = PR_ITERATIONS,
              damping: float = DAMPING) -> DataFrame:

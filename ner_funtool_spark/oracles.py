@@ -1200,7 +1200,8 @@ WHERE 1 = 0
 WP_CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789_"
 
 
-def wordpiece_features_sql(min_freq: int = 10, max_len: int = 64) -> str:
+def wordpiece_features_sql(min_freq: int = 10, max_len: int = 64,
+                           word_suffix: str = "") -> str:
     """Full SQL re-statement of the WordPiece encode stage
     (operators/wordpiece_stage.py + functions/wordpiece.py, reference
     semantics run_bert_crf.py:340-433): corpus vocab (specials, chars,
@@ -1219,16 +1220,22 @@ def wordpiece_features_sql(min_freq: int = 10, max_len: int = 64) -> str:
     """
     ops = _inlist(DOC_OP_WORDS)
     objs = _inlist(DOC_OBJ_WORDS)
+    sfx = f" || '{word_suffix}'" if word_suffix else ""
     return f"""
 WITH words0 AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
-words AS (
+words_orig AS (
     SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos
     FROM words0
 ),
+words AS (
+    SELECT doc_id, word{sfx} AS word, wpos FROM words_orig
+),
 freq AS (
-    SELECT word AS tok, count(*) AS cnt FROM words
+    -- vocab always derives from the ORIGINAL corpus tokens, so a
+    -- non-empty word_suffix forces real multi-char greedy prefixes
+    SELECT word AS tok, count(*) AS cnt FROM words_orig
     GROUP BY word HAVING count(*) >= {min_freq}
 ),
 charlist AS (SELECT string_split('{WP_CHARSET}', '') AS cl),
@@ -1403,6 +1410,18 @@ triples AS (
     UNION ALL
     SELECT repo AS subj, repo || '/' || path AS obj FROM doc_sha
 )"""
+
+
+def kg_comention_sql() -> str:
+    """Co-occurrence edge oracle: unordered distinct-entity pairs per
+    document, weighted by co-mentioning document count."""
+    return f"""
+WITH {doc_mentions_cte()},
+ents AS (SELECT DISTINCT repo, path, text AS e FROM mention_rows)
+SELECT a.e AS a, b.e AS b, count(*)::BIGINT AS n_docs
+FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
+GROUP BY a.e, b.e
+"""
 
 
 def kg_degrees_sql() -> str:

@@ -51,3 +51,17 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(df)
     assert out.columns == ["node", "pr"]
     assert out.count() == 0
+
+
+def test_comention_edges(spark):
+    from ner_funtool_spark.operators.graph import comention_edges
+
+    m = spark.createDataFrame(
+        [("r", "p1", "a"), ("r", "p1", "b"), ("r", "p1", "b"), ("r", "p1", "c"),
+         ("r", "p2", "a"), ("r", "p2", "b"),
+         ("r", "p3", "a")],
+        "repo string, path string, text string",
+    )
+    got = {(r["a"], r["b"]): r["n_docs"] for r in comention_edges(m).collect()}
+    # duplicates within a doc count once; pairs weighted by doc count
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

@@ -210,3 +210,57 @@ def stream_mentions(spark: SparkSession, docs_path: str, sink: list,
     q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def stream_triples_upsert(spark: SparkSession, docs_path: str,
+                          store_path: str,
+                          schema: str = "doc_id bigint, text string, "
+                                        "lang string, source string, "
+                                        "n_chars bigint") -> int:
+    """Incremental KG maintenance under Structured Streaming: every
+    micro-batch of documents re-runs the triple pipeline for ITS docs
+    and MERGEs the result into the parquet store with upsert_triples —
+    the streaming shape of the north_star's resumable maintenance loop.
+
+    The store rewrite here is whole-table (a parquet stand-in); with an
+    Iceberg/Delta store the same ``upsert_triples`` plan compiles to a
+    partial MERGE (only matched buckets rewrite, operators/triples.py
+    salting).  Each batch's version is its epoch id, so replays of the
+    same epoch are idempotent (latest_per_key takes the max version,
+    and re-merging identical rows is a no-op).  Returns the number of
+    micro-batches processed.
+    """
+    from ..operators.upsert import upsert_triples
+    from ..plans.kg import build_triples, documents_as_source
+
+    cols = ["subj", "pred", "obj", "repo", "content_sha"]
+    n_batches = [0]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        inc = (
+            build_triples(documents_as_source(batch_df),
+                          domain="doc", mode="rules")
+            .select(*cols).distinct()
+            .withColumn("commit", F.format_string("e%05d", F.lit(epoch_id)))
+        )
+        try:
+            existing = spark.read.parquet(store_path)
+            merged = upsert_triples(existing, inc)
+        except Exception:  # first batch: no store yet
+            merged = inc
+        # materialize before overwrite (the store is also the input)
+        pdf = merged.toPandas()
+        spark.createDataFrame(pdf, schema=merged.schema).write.mode(
+            "overwrite"
+        ).parquet(store_path)
+        n_batches[0] += 1
+
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return n_batches[0]

@@ -232,3 +232,36 @@ def test_sessionize_stateful_closed_sessions_equal_batch(spark, tmp_path):
         (r["user_id"], r["t_start"], r["t_end"], r["n_events"]) for r in batch
     }
     assert got <= want_all
+
+
+def test_stream_triples_upsert_converges_to_batch(spark, tmp_path):
+    """Micro-batched incremental maintenance == one-shot batch build:
+    after streaming the corpus file-by-file through foreachBatch +
+    upsert_triples, the store holds exactly the triples of a single
+    batch run (keys and provenance; versions differ by design)."""
+    from ner_funtool_spark.plans.kg import build_triples, documents_as_source
+    from ner_funtool_spark.streaming.stream import stream_triples_upsert
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_dir = str(tmp_path / "docs_stream")
+    # three files -> three micro-batches
+    docs.repartition(3).write.parquet(src_dir)
+    store = str(tmp_path / "triples_store")
+
+    n = stream_triples_upsert(spark, src_dir, store)
+    assert n >= 3
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["content_sha"])
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["content_sha"])
+        for r in build_triples(
+            documents_as_source(docs), domain="doc", mode="rules"
+        ).select("subj", "pred", "obj", "content_sha").distinct().collect()
+    }
+    assert got == want
+    # store is key-unique (the MERGE invariant)
+    st = spark.read.parquet(store)
+    assert st.count() == st.select("subj", "pred", "obj").distinct().count()

@@ -690,6 +690,20 @@ def _q_wordpiece_features_subword(spark, sf_dir):
     return _q_wordpiece_features(spark, sf_dir, word_suffix="x")
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: a simulated re-crawl batch (every 10th
+    doc, re-keyed +100000) checked against the EXISTING corpus only —
+    |new| x bounded blocks, no corpus self-join
+    (operators/dedup.py:ngram_jaccard_incremental)."""
+    from ner_funtool_spark.operators.dedup import ngram_jaccard_incremental
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return ngram_jaccard_incremental(new, docs, JACCARD_T)
+
+
 def _q_kg_comention(spark, sf_dir):
     """Entity co-occurrence edges (a, b, n_docs) over the flagship
     mentions — the related-entities edge list embedding trainers use;
@@ -954,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_invariants": _q_wordpiece_invariants,
         "wordpiece_features_subword": _q_wordpiece_features_subword,
         "kg_comention": _q_kg_comention,
+        "dedup_incremental": _q_dedup_incremental,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "kg_degrees": _q_kg_degrees,
@@ -1028,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             min_freq=500, word_suffix="x"
         ),
         "kg_comention": oracles.kg_comention_sql(),
+        "dedup_incremental": oracles.dedup_incremental_sql(JACCARD_T),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         "dedup_keep_docs_longest": oracles.dedup_keep_docs_longest_sql(JACCARD_T),

@@ -336,3 +336,49 @@ def simhash_pairs(documents: DataFrame, max_distance: int,
         .filter(F.col("dist") <= max_distance)
         .select("a", "b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def ngram_jaccard_incremental(new_docs: DataFrame, corpus: DataFrame,
+                              threshold: float,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              k: int = SHINGLE_K,
+                              max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """(new_id, corpus_id, score): near-dups of NEW documents against an
+    EXISTING corpus — the incremental-ingest shape.
+
+    A re-crawl batch must not pay the corpus self-join again: blocking
+    uses the CORPUS-side shingle document frequencies (the stored index
+    statistic, <= max_df, same cap semantics as ngram_jaccard_pairs),
+    candidates are new x corpus equi-joins on the blocking shingle, and
+    verification is the exact jaccard of the two full shingle sets.
+    Cost ~ |new| x bounded block sizes — independent of |corpus|² and
+    of pairs WITHIN the corpus (assumed already deduped).
+    """
+    sh_n = shingles(new_docs, text_col, id_col, k).persist()
+    sh_c = shingles(corpus, text_col, id_col, k).persist()
+    dfc = sh_c.groupBy("shingle").agg(F.count("*").alias("_df"))
+    blocked_c = sh_c.join(
+        dfc.filter(F.col("_df") <= max_df).select("shingle"), "shingle"
+    )
+    cand = (
+        sh_n.select(F.col(id_col).alias("a"), "shingle")
+        .join(blocked_c.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .select("a", "b")
+        .distinct()
+    )
+    sz_n = sh_n.groupBy(id_col).agg(F.count("*").alias("sa"))
+    sz_c = sh_c.groupBy(id_col).agg(F.count("*").alias("sb"))
+    ni = (
+        cand.join(sh_n.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh_c.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        ni.join(sz_n.select(F.col(id_col).alias("a"), "sa"), "a")
+        .join(sz_c.select(F.col(id_col).alias("b"), "sb"), "b")
+        .withColumn("jac", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
+        .filter(F.col("jac") >= threshold)
+        .select(F.col("a").alias("new_id"), F.col("b").alias("corpus_id"),
+                F.round("jac", 6).alias("score"))
+    )

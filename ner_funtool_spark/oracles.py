@@ -408,6 +408,54 @@ SELECT a, b, round(jac, 6) AS score FROM jac_pairs WHERE jac >= {threshold}
 """
 
 
+def dedup_incremental_sql(threshold: float, k: int = 3,
+                          max_df: int = 1000) -> str:
+    """Mirror of dedup.ngram_jaccard_incremental: the re-crawl batch
+    (every 10th doc, re-keyed +100000) blocked against corpus-side
+    df-capped shingles, exact-jaccard verified."""
+    def sh(src: str) -> str:
+        return f"""(
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(len(l) - {k - 1}),
+                       i -> array_to_string(list_slice(l, i + 1, i + {k}), ' '))
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM {src})
+    WHERE len(l) >= {k})"""
+
+    return f"""
+WITH newd AS (
+    SELECT doc_id + 100000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+),
+sh_c AS (SELECT * FROM {sh('documents')}),
+sh_n AS (SELECT * FROM {sh('newd')}),
+blocked_c AS (
+    SELECT s.* FROM sh_c s
+    JOIN (SELECT shingle FROM sh_c GROUP BY shingle
+          HAVING count(*) <= {max_df}) ok USING (shingle)
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS a, c.doc_id AS b
+    FROM sh_n n JOIN blocked_c c USING (shingle)
+),
+inter AS (
+    SELECT cd.a, cd.b, count(*) AS ni
+    FROM cand cd
+    JOIN sh_n x ON x.doc_id = cd.a
+    JOIN sh_c y ON y.doc_id = cd.b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+),
+szn AS (SELECT doc_id, count(*) AS sa FROM sh_n GROUP BY doc_id),
+szc AS (SELECT doc_id, count(*) AS sb FROM sh_c GROUP BY doc_id)
+SELECT i.a AS new_id, i.b AS corpus_id,
+       round(i.ni * 1.0 / (sa.sa + sb.sb - i.ni), 6) AS score
+FROM inter i
+JOIN szn sa ON i.a = sa.doc_id
+JOIN szc sb ON i.b = sb.doc_id
+WHERE i.ni * 1.0 / (sa.sa + sb.sb - i.ni) >= {threshold}
+"""
+
+
 def minhash_lsh_sql(threshold: float, k: int = 16, bands: int = 4,
                     seed: int = SEED) -> str:
     a_arr, b_arr = minhash_params(k, seed)

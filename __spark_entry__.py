@@ -507,6 +507,48 @@ def _q_training_corpus(spark, sf_dir):
     )
 
 
+MEDIA_N = 500
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing driver-gated (r3): synthetic binary payloads
+    through the Arrow mapInPandas feature stage, emitted as EXACT
+    integer bucket sums (media_id, kind, pos, bucket_sum) — the DuckDB
+    oracle reproduces the sha256 payload bytes and the fold, so the
+    whole binary-column path (schema, batching, UDF signature) is
+    value-hash checked.  The L2-normalized float form (similarity
+    input) is pytest-pinned; the real codec stays a labeled stub."""
+    from ner_funtool_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    feats = extract_features(synth_media(spark, MEDIA_N), normalize=False)
+    return feats.select(
+        "media_id", "kind",
+        F.posexplode("feature").alias("pos", "bucket_sum"),
+    ).select(
+        "media_id", "kind",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("bucket_sum").cast("bigint").alias("bucket_sum"),
+    )
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame index
+    (metadata-driven explode; decode stubbed by design)."""
+    from ner_funtool_spark.operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, MEDIA_N), every_k=4)
+
+
+def _q_multimodal_resize_plan(spark, sf_dir):
+    """Resize planning (pure column math over media metadata)."""
+    from ner_funtool_spark.operators.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(spark, MEDIA_N), max_side=64)
+
+
 def _q_kg_mentions_neural(spark, sf_dir):
     """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
     driver check); decode parity is pinned by fixtures in pytest."""
@@ -969,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_features_subword": _q_wordpiece_features_subword,
         "kg_comention": _q_kg_comention,
         "dedup_incremental": _q_dedup_incremental,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_resize_plan": _q_multimodal_resize_plan,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "kg_degrees": _q_kg_degrees,
@@ -1044,6 +1089,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_comention": oracles.kg_comention_sql(),
         "dedup_incremental": oracles.dedup_incremental_sql(JACCARD_T),
+        "multimodal_features": oracles.multimodal_features_sql(MEDIA_N),
+        "multimodal_frame_sample": oracles.multimodal_frame_sample_sql(MEDIA_N),
+        "multimodal_resize_plan": oracles.multimodal_resize_plan_sql(MEDIA_N),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         "dedup_keep_docs_longest": oracles.dedup_keep_docs_longest_sql(JACCARD_T),

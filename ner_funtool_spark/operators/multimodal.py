@@ -97,19 +97,40 @@ def _fake_features(payload: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return (out / np.where(norms == 0, 1, norms)).astype(np.float32)
 
 
+def _fake_feature_sums(payload: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Integer bucket sums BEFORE normalization — exact int64, so the
+    DuckDB oracle reproduces them bit-for-bit (no float rounding risk).
+    """
+    out = np.zeros((len(payload), dim), dtype=np.int64)
+    for i, b in enumerate(payload):
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        pad = (-len(arr)) % dim
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
+        out[i] = arr.reshape(-1, dim).sum(axis=0)
+    return out
+
+
 def extract_features(media: DataFrame, stub: bool = True,
-                     dim: int = FEATURE_DIM) -> DataFrame:
-    """media -> (media_id, kind, feature array<float>) via mapInPandas."""
+                     dim: int = FEATURE_DIM,
+                     normalize: bool = True) -> DataFrame:
+    """media -> (media_id, kind, feature) via mapInPandas.
+
+    normalize=True: L2-normalized array<float> (similarity-compatible).
+    normalize=False: exact integer bucket sums array<bigint> — the
+    cross-engine-checkable form the driver query uses."""
     if not stub and not HAS_PIL:
         raise NotImplementedError("non-stub extraction requires codec libs")
 
-    schema = "media_id bigint, kind string, feature array<float>"
+    ftype = "array<float>" if normalize else "array<bigint>"
+    schema = f"media_id bigint, kind string, feature {ftype}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = _fake_features(pdf["payload"].to_numpy(), dim)
+            fn = _fake_features if normalize else _fake_feature_sums
+            feats = fn(pdf["payload"].to_numpy(), dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1150,6 +1150,76 @@ SELECT doc_id, source, quality, {split_case} AS split FROM sampled
 """
 
 
+def multimodal_features_sql(n: int, seed: int = 7, dim: int = 16) -> str:
+    """Replays multimodal.synth_media + _fake_feature_sums in SQL:
+    payload = sha256('{seed}:{i}') bytes repeated (1 + i%4) times;
+    bucket_sum[d] = repeats * (byte[d] + byte[d+16]) since one 32-byte
+    digest folds into 16 buckets exactly twice."""
+    return f"""
+WITH m AS (SELECT range AS i FROM range({n})),
+h AS (
+    SELECT i,
+           sha256('{seed}' || ':' || i::VARCHAR) AS hx,
+           1 + i % 4 AS r,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind
+    FROM m
+),
+b AS (
+    SELECT i, kind, r,
+           list_transform(range(32),
+                          j -> ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT)
+               AS bytes
+    FROM h
+)
+SELECT b.i AS media_id, b.kind, p.pos::INT AS pos,
+       (b.r * (b.bytes[p.pos + 1] + b.bytes[p.pos + {dim + 1}]))::BIGINT
+           AS bucket_sum
+FROM b, (SELECT unnest(range({dim})) AS pos) p
+"""
+
+
+def multimodal_frame_sample_sql(n: int, every_k: int = 4) -> str:
+    """Replays multimodal.frame_sample over the synthetic metadata."""
+    return f"""
+WITH meta AS (
+    SELECT range AS i,
+           CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           16 * (1 + range % 8) AS width,
+           16 * (1 + range % 5) AS height,
+           CASE WHEN range % 3 = 0 THEN 1 ELSE 8 + range % 16 END AS n_frames
+    FROM range({n})
+)
+SELECT i AS media_id, unnest(range(0, n_frames, {every_k}))::INT AS frame_idx,
+       width::INT AS width, height::INT AS height
+FROM meta WHERE kind = 'video'
+"""
+
+
+def multimodal_resize_plan_sql(n: int, max_side: int = 64) -> str:
+    """Replays multimodal.resize_plan (pure metadata arithmetic)."""
+    return f"""
+WITH meta AS (
+    SELECT range AS i,
+           CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           16 * (1 + range % 8) AS width,
+           16 * (1 + range % 5) AS height
+    FROM range({n})
+),
+s AS (
+    SELECT i, kind, width, height,
+           least(1.0, {max_side} / greatest(width, height)) AS scale
+    FROM meta
+)
+SELECT i AS media_id, kind,
+       round(width * scale)::INT AS out_width,
+       round(height * scale)::INT AS out_height
+FROM s
+"""
+
+
 def ann_ivf_trained_invariants_sql() -> str:
     """Typed empty oracle for the trained-IVF invariants query: the
     k-means trainer cannot be expressed in SQL (no centroid literals

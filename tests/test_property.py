@@ -85,3 +85,64 @@ def test_vectorized_extraction_equals_pipeline_rule(tag_ids):
     want = pipeline_rule(words, [TAGNAMES[t] for t in tag_ids])
     want_set = {(tb_l[x.begin], te_l[x.end], x.text, x.etype) for x in want}
     assert got_set == want_set
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.integers(1, 6),   # B
+    st.integers(1, 12),  # S
+    st.integers(1, 3),   # n_types
+)
+def test_fused_class_viterbi_property(seed, B, S, NT):
+    """viterbi_decode_classes == cube path for any class matrix/length
+    combination (the r3 fused kernel, fuzzed beyond the fixed-seed
+    unit test)."""
+    from ner_funtool_spark.functions.crf import viterbi_decode_classes
+    from ner_funtool_spark.functions.model import EMIT_SCORE
+
+    rng = np.random.RandomState(seed % (2**31))
+    cls = rng.randint(0, NT + 1, size=(B, S)).astype(np.int8)
+    lens = rng.randint(1, S + 1, size=B)
+    trans, start, end = bmes_transitions(NT)
+    a = viterbi_decode_batch(class_emissions(cls, NT), trans, lens, start, end)
+    b = viterbi_decode_classes(cls, NT, trans, lens, start, end,
+                               emit_score=EMIT_SCORE)
+    np.testing.assert_array_equal(a, b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60),
+       st.integers(1, 50))
+def test_packing_invariants(ntoks, budget):
+    """Concat-and-chunk packing math (pure form of pack_documents):
+    offsets stay inside the budget, pack ids are monotone, and the
+    layout is gapless (each doc starts where the previous ended)."""
+    cum = 0
+    prev_pack = 0
+    for n in ntoks:
+        pack_id, start_off = cum // budget, cum % budget
+        assert 0 <= start_off < budget
+        assert pack_id >= prev_pack
+        prev_pack = pack_id
+        cum += n
+    assert cum == sum(ntoks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=200, unique=True),
+       st.floats(0.05, 0.95))
+def test_split_partition_property(ids, frac):
+    """Every id gets exactly one split label and membership depends only
+    on the id (pure form of assign_splits' bucket rule)."""
+    from ner_funtool_spark.functions.hashing import md5_int
+
+    edge = int(round(frac * 10000))
+    labels = {}
+    for i in ids:
+        b = md5_int(f"split_v1|{i}") % 10000
+        labels[i] = "train" if b < edge else "test"
+    # stability: recomputing yields identical assignment
+    for i in ids:
+        b = md5_int(f"split_v1|{i}") % 10000
+        assert labels[i] == ("train" if b < edge else "test")

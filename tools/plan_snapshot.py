@@ -34,6 +34,11 @@ PLAN_QUERIES = [
     "sessionize",
     "embedding_link",
     "wordpiece_features",
+    "training_corpus",
+    "triples_history_scd2",
+    "dedup_incremental",
+    "kg_comention",
+    "multimodal_features",
 ]
 
 

@@ -74,6 +74,9 @@ def main() -> None:
         "ann_topk", "text_stats", "pricing_summary", "revenue_by_nation",
         "top_parts_per_supplier", "windowed_event_counts", "sessionize",
         "kg_canonical_triples", "triples_upsert", "kg_pagerank",
+        # r3 additions: the dataset-management + temporal-KG tier
+        "training_corpus", "triples_history_scd2", "dedup_incremental",
+        "kg_comention", "doc_packing", "triples_upsert_bloom",
     ):
         df = qs[name](spark, sf_dir)
         timed(name, lambda d=df: d.count())

@@ -549,6 +549,22 @@ def _q_multimodal_resize_plan(spark, sf_dir):
     return resize_plan(synth_media(spark, MEDIA_N), max_side=64)
 
 
+def _q_doc_tfidf(spark, sf_dir):
+    """Smoothed TF-IDF over the corpus (retrieval features; two bounded
+    shuffles, df/N broadcast)."""
+    from ner_funtool_spark.operators.analytics import tfidf
+
+    return tfidf(_docs(spark, sf_dir))
+
+
+def _q_doc_bigrams(spark, sf_dir):
+    """Corpus bigram counts + conditional P(w2|w1) at n >= 5 (n-gram LM
+    statistics / collocation signal)."""
+    from ner_funtool_spark.operators.analytics import bigram_stats
+
+    return bigram_stats(_docs(spark, sf_dir), min_n=5)
+
+
 def _q_kg_mentions_neural(spark, sf_dir):
     """Seeded BiLSTM+CRF decode path — NOT SQL-expressible (rows-only
     driver check); decode parity is pinned by fixtures in pytest."""
@@ -1014,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_resize_plan": _q_multimodal_resize_plan,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_bigrams": _q_doc_bigrams,
         "sales_cube": _q_sales_cube,
         "kg_repo_rollup": _q_kg_repo_rollup,
         "kg_degrees": _q_kg_degrees,
@@ -1092,6 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracles.multimodal_features_sql(MEDIA_N),
         "multimodal_frame_sample": oracles.multimodal_frame_sample_sql(MEDIA_N),
         "multimodal_resize_plan": oracles.multimodal_resize_plan_sql(MEDIA_N),
+        "doc_tfidf": oracles.doc_tfidf_sql(),
+        "doc_bigrams": oracles.doc_bigrams_sql(min_n=5),
         "dedup_clusters": oracles.dedup_clusters_sql(JACCARD_T),
         "dedup_keep_docs": oracles.dedup_keep_docs_sql(JACCARD_T),
         "dedup_keep_docs_longest": oracles.dedup_keep_docs_longest_sql(JACCARD_T),

@@ -73,3 +73,67 @@ def order_priority_distribution(orders: DataFrame) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+def tfidf(documents, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, token, tf, df, tfidf): smoothed TF-IDF over whitespace
+    tokens — the retrieval feature a document pipeline materializes
+    next to embeddings.  idf = ln((1 + N) / (1 + df)) + 1 (the
+    add-one-smoothed form, never negative/divide-by-zero), tfidf
+    rounded to 6 decimals (cross-engine float rule).
+
+    Shape at scale: one explode + one (doc, token) groupBy for tf, one
+    token groupBy for df, a broadcast of the (small) token-df dimension
+    back onto tf, and the corpus size N as a 1-row broadcast — two
+    shuffles total, both on bounded keys.
+    """
+    from pyspark.sql import functions as F
+
+    toks = documents.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = documents.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col), "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bigram_stats(documents, text_col: str = "text", min_n: int = 5):
+    """(w1, w2, n, p): corpus bigram counts with the conditional
+    probability p = P(w2 | w1), n >= min_n — the n-gram LM statistic
+    (and the signal behind collocation/boilerplate detection).  One
+    explode producing adjacent pairs + two aggregations."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col(text_col), " ")
+    pairs = documents.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    firsts = pairs.groupBy("w1").agg(F.count("*").alias("n1"))
+    return (
+        counts.join(F.broadcast(firsts), "w1")
+        .filter(F.col("n") >= min_n)
+        .select(
+            "w1", "w2", F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n1"), 6).alias("p"),
+        )
+    )

@@ -1711,3 +1711,40 @@ triples AS (
 SELECT repo, pred, count(*) AS n
 FROM triples GROUP BY ROLLUP (repo, pred)
 """
+
+
+def doc_tfidf_sql() -> str:
+    """Smoothed TF-IDF mirror: idf = ln((1+N)/(1+df)) + 1; ln agrees
+    across engines within the 6-decimal rounding."""
+    return """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY doc_id, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf::BIGINT AS tf, dfq.df::BIGINT AS df,
+       round(tf.tf * (ln((1 + n.n_docs) * 1.0 / (1 + dfq.df)) + 1), 6)
+           AS tfidf
+FROM tf JOIN dfq USING (token) CROSS JOIN n
+"""
+
+
+def doc_bigrams_sql(min_n: int = 5) -> str:
+    """Bigram counts + conditional probability mirror."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+pairs AS (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM toks, unnest(range(1, len(l))) AS r(i)
+    WHERE l[i] <> '' AND l[i + 1] <> ''
+),
+counts AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2),
+firsts AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1)
+SELECT c.w1, c.w2, c.n::BIGINT AS n, round(c.n * 1.0 / f.n1, 6) AS p
+FROM counts c JOIN firsts f USING (w1)
+WHERE c.n >= {min_n}
+"""

@@ -976,6 +976,53 @@ def _q_sales_cube(spark, sf_dir):
     )
 
 
+TWO_HOP_MID_CAP = 20  # middle-node out-degree cap (hub containment)
+
+
+def _q_kg_two_hop(spark, sf_dir):
+    """2-hop reachability (repo -CONTAINS-> file -MENTIONS_*-> entity)
+    aggregated over middle nodes, with hub middles capped at out-degree
+    <= TWO_HOP_MID_CAP — the cap is part of the query contract and the
+    oracle applies the same one."""
+    from ner_funtool_spark.operators.graph import two_hop
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules")
+    return two_hop(t, max_mid_degree=TWO_HOP_MID_CAP)
+
+
+def _q_kg_comention_pmi(spark, sf_dir):
+    """PMI-scored entity association over co-mention pairs (integer
+    threshold n_ab >= 2; ln rounded to 6 decimals on both engines)."""
+    from ner_funtool_spark.operators.graph import comention_pmi
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    return comention_pmi(m, min_pair_docs=2)
+
+
+def _q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts on the co-mention graph; Spark runs
+    degree-ordered orientation, the oracle naive id-ordered
+    enumeration — the hash match proves orientation-invariance."""
+    from ner_funtool_spark.operators.graph import comention_edges, triangle_counts
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    return triangle_counts(comention_edges(m))
+
+
+def _q_kg_skew_report(spark, sf_dir):
+    """Hot-key profile of the triples store's subj column (top-20 keys
+    with share + cumulative share) — the measurement that justifies the
+    salted-write factors; TakeOrdered top-k, no global sort."""
+    from ner_funtool_spark.operators.analytics import key_skew_report
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules")
+    return key_skew_report(t.select("subj"), "subj", top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -1044,6 +1091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": _q_kg_canonical_triples,
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
+        "kg_two_hop": _q_kg_two_hop,
+        "kg_comention_pmi": _q_kg_comention_pmi,
+        "kg_triangles": _q_kg_triangles,
+        "kg_skew_report": _q_kg_skew_report,
     }
 
 
@@ -1126,6 +1177,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "triples_degrees_salted": oracles.triples_degrees_salted_sql(),
         "ann_ivf_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
+        "kg_two_hop": oracles.kg_two_hop_sql(TWO_HOP_MID_CAP),
+        "kg_comention_pmi": oracles.kg_comention_pmi_sql(min_pair_docs=2),
+        "kg_triangles": oracles.kg_triangles_sql(),
+        "kg_skew_report": oracles.kg_skew_report_sql(top_k=20),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the

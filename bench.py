@@ -77,9 +77,14 @@ def main() -> None:
         # r3 additions: the dataset-management + temporal-KG tier
         "training_corpus", "triples_history_scd2", "dedup_incremental",
         "kg_comention", "doc_packing", "triples_upsert_bloom",
+        # r3 continuation: graph-analytics tier
+        "kg_two_hop", "kg_comention_pmi", "kg_triangles", "kg_skew_report",
     ):
-        df = qs[name](spark, sf_dir)
-        timed(name, lambda d=df: d.count())
+        # construction is inside the timing: declarative queries build
+        # lazily (~ms), but queries that materialize eagerly during
+        # construction (pagerank / triangle checkpoint loops) must not
+        # under-report by timing only the final count
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     spark.stop()
     print(json.dumps({

@@ -137,3 +137,40 @@ def bigram_stats(documents, text_col: str = "text", min_n: int = 5):
             F.round(F.col("n") / F.col("n1"), 6).alias("p"),
         )
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """(key, n, share, cum_share, rank): the hot-key profile a pipeline
+    reads BEFORE choosing salt factors / bucket counts — the north_rule's
+    "skew handled explicitly" starts with measuring it.  rank orders by
+    (count desc, key asc); share and cum_share are fractions of all rows.
+
+    Shape at scale: one per-key aggregation (map-side partial combine),
+    then a global top-k via orderBy().limit() — Spark plans TakeOrdered,
+    a per-partition heap + driver merge of top_k rows, NOT a global
+    sort.  The window functions run on the already-limited top_k rows
+    (single tiny partition by construction); the total is a 1-row
+    broadcast.  cum_share divides an INTEGER running sum once at the
+    end, so no float-summation-order dependence cross-engine.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    cum = Window.orderBy(F.desc("n"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_n", F.sum("n").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            F.round(F.col("cum_n") / F.col("t"), 6).alias("cum_share"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -75,6 +75,154 @@ def comention_edges(mentions: DataFrame, doc_cols=("repo", "path"),
     )
 
 
+def two_hop(triples: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
+    """2-hop reachability with path counts over the DISTINCT triple
+    set: (a, pred1, pred2, c, n_paths) where n_paths = number of
+    distinct middle nodes m with a -pred1-> m -pred2-> c.  This is the
+    derived-relation query a KG serves constantly (repo ->* entity,
+    package ->* symbol).
+
+    Shape at scale: one self-join shuffled on the middle node m, then
+    one aggregation on the (a, pred1, pred2, c) group — the output is
+    aggregated, never the raw path enumeration.  The quadratic danger
+    is a HUB middle node (a file mentioning 10^5 entities fans out
+    in-degree × out-degree pairs); ``max_mid_degree`` caps it by
+    dropping middle nodes whose out-degree exceeds the cap *before*
+    the join (the cap is part of the query contract and is mirrored in
+    the DuckDB oracle — deterministic, not a silent truncation).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    e2 = t.select(
+        F.col("subj").alias("m"), F.col("pred").alias("pred2"),
+        F.col("obj").alias("c"),
+    )
+    if max_mid_degree is not None:
+        mid_deg = e2.groupBy("m").agg(F.count("*").alias("md"))
+        e2 = e2.join(
+            mid_deg.filter(F.col("md") <= max_mid_degree).select("m"), "m"
+        )
+    e1 = t.select(
+        F.col("subj").alias("a"), F.col("pred").alias("pred1"),
+        F.col("obj").alias("m"),
+    )
+    return (
+        e1.join(e2, "m")
+        .groupBy("a", "pred1", "pred2", "c")
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+    )
+
+
+def comention_pmi(mentions: DataFrame, doc_cols=("repo", "path"),
+                  text_col: str = "text", min_pair_docs: int = 2) -> DataFrame:
+    """Pointwise mutual information over co-mention pairs:
+    (a, b, n_ab, n_a, n_b, pmi) with
+    pmi = ln(n_ab * N / (n_a * n_b)), N = distinct documents with at
+    least one mention.  The association score entity-relatedness
+    features (and distant-supervision relation candidates) are built
+    from; ``min_pair_docs`` thresholds on the INTEGER pair count, so
+    cross-engine determinism does not depend on float comparisons.
+
+    Shape at scale: the bounded per-document pair join from
+    ``comention_edges``, one per-entity doc-count aggregation joined
+    back onto the pair list (no broadcast hint — the entity dimension
+    is unbounded; AQE promotes it when small), and N as a 1-row
+    broadcast — no driver collect, no corpus-quadratic stage.
+    """
+    d = list(doc_cols)
+    ents = mentions.select(*d, F.col(text_col).alias("e")).distinct()
+    pairs = comention_edges(mentions, doc_cols=doc_cols, text_col=text_col)
+    ent_docs = ents.groupBy("e").agg(F.count("*").alias("n_e"))
+    n_docs = ents.select(*d).distinct().agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.filter(F.col("n_docs") >= min_pair_docs)
+        .withColumnRenamed("n_docs", "n_ab")
+        .join(ent_docs.withColumnRenamed("e", "a")
+              .withColumnRenamed("n_e", "n_a"), "a")
+        .join(ent_docs.withColumnRenamed("e", "b")
+              .withColumnRenamed("n_e", "n_b"), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a", "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs")
+                      / (F.col("n_a") * F.col("n_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a",
+                    b_col: str = "b") -> DataFrame:
+    """Per-node triangle counts (node, n_tri) over an undirected edge
+    list given as unordered pairs with a < b (the ``comention_edges``
+    output contract) — the clustering/community signal on the entity
+    graph.
+
+    Algorithm: degree-ordered orientation (compact-forward).  Each
+    undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, so every node's out-degree is bounded by
+    O(sqrt(|E|)) on skewed graphs — the wedge self-join fans out from
+    out-adjacency pairs, which tames the hub-node blowup that a naive
+    (a < b < c) id-ordered enumeration hits when a low-id node is a
+    hub.  Each triangle is counted exactly once (at its orientation
+    apex), then unpivoted to its three corners.  The DuckDB oracle
+    deliberately uses the naive id-ordered enumeration: a value-hash
+    match proves orientation-invariance, not just plan parity.
+    """
+    # the edge list feeds degree counting, orientation AND the closing-
+    # edge probe — persist it (and the oriented list below) so an
+    # upstream pipeline (e.g. the Arrow tagging stage behind
+    # comention_edges) runs once, not once per reference; released
+    # after the eager checkpoint of the result (pagerank hygiene)
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
+        .distinct().persist()
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
+    # orientation key: (degree, id) total order, lower -> higher
+    # degree dimension is one row per node — unbounded at corpus
+    # scale, so no broadcast hint: AQE promotes to broadcast when the
+    # runtime size allows, else these stay partitioned hash joins
+    keyed = (
+        und.join(deg.withColumnRenamed("n", "u")
+                 .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v")
+              .withColumnRenamed("d", "dv"), "v")
+    )
+    oriented = keyed.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v", "dv").persist()
+    # wedges from the apex u: out-neighbour pairs ordered by the SAME
+    # (degree, id) orientation key, so in a triangle o1 < o2 < o3 the
+    # apex is o1 and the wedge pair is exactly (o2, o3) — the closing
+    # edge o2 -> o3 is then a plain 2-column EQUI join against the
+    # oriented edge list (hash join, never a nested-loop OR-join)
+    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"),
+                         F.col("dv").alias("dx"))
+    w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"),
+                         F.col("dv").alias("dy"))
+    wedges = w1.join(w2, "apex").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    corners = (
+        tris.select(F.col("apex").alias("node"))
+        .union(tris.select(F.col("x").alias("node")))
+        .union(tris.select(F.col("y").alias("node")))
+    )
+    out = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    ).localCheckpoint(eager=True)
+    oriented.unpersist()
+    e.unpersist()
+    return out
+
+
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              iterations: int = PR_ITERATIONS,
              damping: float = DAMPING) -> DataFrame:

@@ -1748,3 +1748,115 @@ SELECT c.w1, c.w2, c.n::BIGINT AS n, round(c.n * 1.0 / f.n1, 6) AS p
 FROM counts c JOIN firsts f USING (w1)
 WHERE c.n >= {min_n}
 """
+
+
+def _triples_pred_cte() -> str:
+    """Full (subj, pred, obj) triple list of the flagship pipeline —
+    mention triples plus CONTAINS, multiset (one row per mention)."""
+    return f"""
+{doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo
+    FROM documents
+),
+triples AS (
+    SELECT m.repo || '/' || m.path AS subj,
+           CASE m.etype WHEN 'op' THEN 'MENTIONS_OP'
+                        ELSE 'MENTIONS_OBJ' END AS pred,
+           m.text AS obj
+    FROM mention_rows m
+    UNION ALL
+    SELECT repo AS subj, 'CONTAINS' AS pred, repo || '/' || path AS obj
+    FROM doc_sha
+)"""
+
+
+def kg_two_hop_sql(max_mid_degree: int) -> str:
+    """2-hop reachability mirror: distinct triples, middle nodes capped
+    at out-degree <= max_mid_degree (the same contract as the Spark
+    operator), path counts per (a, pred1, pred2, c)."""
+    return f"""
+WITH {_triples_pred_cte()},
+dt AS (SELECT DISTINCT subj, pred, obj FROM triples),
+md AS (SELECT subj, count(*) AS d FROM dt GROUP BY subj),
+e2 AS (
+    SELECT t.subj, t.pred, t.obj FROM dt t
+    JOIN md ON t.subj = md.subj
+    WHERE md.d <= {max_mid_degree}
+)
+SELECT e1.subj AS a, e1.pred AS pred1, e2.pred AS pred2, e2.obj AS c,
+       count(*)::BIGINT AS n_paths
+FROM dt e1 JOIN e2 ON e1.obj = e2.subj
+GROUP BY e1.subj, e1.pred, e2.pred, e2.obj
+"""
+
+
+def kg_comention_pmi_sql(min_pair_docs: int = 2) -> str:
+    """PMI mirror over co-mention pairs: ln agrees across engines
+    within the 6-decimal rounding (same argument as doc_tfidf)."""
+    return f"""
+WITH {doc_mentions_cte()},
+ents AS (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
+pairs AS (
+    SELECT a.e AS a, b.e AS b, count(*) AS n_ab
+    FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
+    GROUP BY a.e, b.e
+),
+ed AS (SELECT e, count(*) AS n_e FROM ents GROUP BY e),
+nd AS (SELECT count(*) AS n_docs FROM (SELECT DISTINCT repo, path FROM ents))
+SELECT p.a, p.b, p.n_ab::BIGINT AS n_ab,
+       ea.n_e::BIGINT AS n_a, eb.n_e::BIGINT AS n_b,
+       round(ln(p.n_ab * nd.n_docs * 1.0 / (ea.n_e * eb.n_e)), 6) AS pmi
+FROM pairs p
+JOIN ed ea ON p.a = ea.e
+JOIN ed eb ON p.b = eb.e
+CROSS JOIN nd
+WHERE p.n_ab >= {min_pair_docs}
+"""
+
+
+def kg_triangles_sql() -> str:
+    """Per-node triangle counts over the co-mention graph — the NAIVE
+    id-ordered enumeration (x < y < z), deliberately a different
+    algorithm than Spark's degree-ordered orientation: a value-hash
+    match proves the orientation scheme is result-invariant."""
+    return f"""
+WITH {doc_mentions_cte()},
+ents AS (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
+e AS (
+    SELECT DISTINCT a.e AS a, b.e AS b
+    FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node
+"""
+
+
+def kg_skew_report_sql(top_k: int = 20) -> str:
+    """Hot-key profile mirror over the flagship triples' subj column:
+    integer running sum divided once at the end (float-order-free)."""
+    return f"""
+WITH {_triples_pred_cte()},
+counts AS (SELECT subj AS key, count(*) AS n FROM triples GROUP BY subj),
+tot AS (SELECT sum(n) AS t FROM counts),
+top AS (
+    SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk
+    FROM counts
+    QUALIFY rnk <= {top_k}
+)
+SELECT key, n::BIGINT AS n,
+       round(n * 1.0 / t, 6) AS share,
+       round(sum(n) OVER (ORDER BY rnk) * 1.0 / t, 6) AS cum_share,
+       rnk::INT AS rank
+FROM top CROSS JOIN tot
+"""

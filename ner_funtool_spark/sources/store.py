@@ -1,0 +1,78 @@
+"""Bucketed triples store: bucketBy/sortBy write + shuffle-free reads.
+
+Two complementary layouts serve the triples table:
+
+* the salted partitioned parquet layout (``operators/triples.py``)
+  optimizes the WRITE path — skew spreading across salt buckets and
+  the resumable per-partition checkpoint ledger;
+* THIS module's bucketed-table layout optimizes the repeated READ-side
+  work keyed on ``subj``: ``bucketBy(n, "subj")`` records the
+  bucketing spec (hash(subj) mod n) in the session catalog, so every
+  downstream ``groupBy("subj")`` aggregation and every join on subj
+  reads pre-partitioned buckets and plans **no Exchange** — the
+  shuffle is paid once at write time, then amortized over every
+  query.  This is the parquet/session-catalog analog of an Iceberg
+  bucket-partitioned table; at 100 TB the saved shuffle per query is
+  the size of the store itself.
+
+``repartition(n_buckets, subj)`` before the write yields exactly one
+file per bucket, which is the condition under which Spark also reports
+the ``sortBy`` order to the planner (sorted scan: sort-merge joins can
+skip their Sort on the bucketed side).
+
+Reference parity note: the reference materializes tag outputs to flat
+files re-read from scratch per run (run_bert_crf.py result files); a
+catalog-registered bucketed store is the Spark-native replacement for
+that re-read path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 32
+
+
+def write_triples_bucketed(triples: DataFrame, table: str, path: str,
+                           n_buckets: int = N_BUCKETS) -> None:
+    """Materialize the triples as a bucketed+sorted external table.
+
+    One shuffle (the repartition on subj) — the same shuffle any single
+    subj-keyed query would pay; afterwards the catalog's bucketing spec
+    makes that the LAST subj shuffle the store ever needs.
+    """
+    (
+        triples.repartition(n_buckets, "subj")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "subj")
+        .sortBy("subj")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def subj_degrees_from_store(spark: SparkSession, table: str) -> DataFrame:
+    """Out-degree per subject read from the bucketed store: the scan's
+    bucket distribution satisfies the aggregation's requirement, so the
+    plan holds partial+final HashAggregate with NO Exchange between."""
+    return spark.table(table).groupBy("subj").agg(
+        F.count("*").cast("bigint").alias("out_deg")
+    )
+
+
+def pred_cooccurrence_from_store(spark: SparkSession, table: str) -> DataFrame:
+    """(pred1, pred2, n_subjects): predicates co-occurring on the same
+    subject — a schema-profiling query that self-joins the store on
+    subj.  Both sides read the same bucketed layout, so the sort-merge
+    join plans with no Exchange on either side (co-located join)."""
+    t = spark.table(table).select("subj", "pred").distinct()
+    a = t.select("subj", F.col("pred").alias("pred1"))
+    b = t.select("subj", F.col("pred").alias("pred2"))
+    return (
+        a.join(b, "subj")
+        .filter(F.col("pred1") < F.col("pred2"))
+        .groupBy("pred1", "pred2")
+        .agg(F.count("*").cast("bigint").alias("n_subjects"))
+    )

@@ -190,6 +190,27 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def dedup_stream(events: DataFrame, key_cols=("event_id",),
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins, re-deliveries
+    arriving within the watermark window are suppressed
+    (``dropDuplicatesWithinWatermark``) — the streaming analog of the
+    batch exact-dedup operator for at-least-once upstream delivery.
+
+    State is BOUNDED: the store holds only keys newer than the
+    event-time watermark and evicts the rest, so state size tracks the
+    re-delivery horizon, not stream history — the property that keeps
+    this viable at ingest-pipeline rates.  On a batch DataFrame the
+    same call degrades to plain dropDuplicates (first-by-key), so
+    batch == stream semantics when arrivals are in event-time order.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
 def stream_mentions(spark: SparkSession, docs_path: str, sink: list,
                     schema: str = "doc_id bigint, text string, lang string, "
                                   "source string, n_chars bigint"):

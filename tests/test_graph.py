@@ -65,3 +65,77 @@ def test_comention_edges(spark):
     got = {(r["a"], r["b"]): r["n_docs"] for r in comention_edges(m).collect()}
     # duplicates within a doc count once; pairs weighted by doc count
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_two_hop_counts_and_cap(spark):
+    from ner_funtool_spark.operators.graph import two_hop
+
+    t = spark.createDataFrame(
+        [
+            ("r", "C", "f1"), ("r", "C", "f2"), ("r", "C", "f2"),  # dup edge
+            ("f1", "M", "e1"), ("f1", "M", "e2"),
+            ("f2", "M", "e1"), ("f2", "M", "e2"), ("f2", "M", "e3"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["a"], r["pred1"], r["pred2"], r["c"]): r["n_paths"]
+           for r in two_hop(t).collect()}
+    # r reaches e1 via f1 AND f2 -> n_paths = 2 (dup edge deduped)
+    assert got[("r", "C", "M", "e1")] == 2
+    assert got[("r", "C", "M", "e3")] == 1
+    # cap at 2 drops f2 (out-degree 3) as a middle node
+    capped = {(r["a"], r["pred1"], r["pred2"], r["c"]): r["n_paths"]
+              for r in two_hop(t, max_mid_degree=2).collect()}
+    assert capped[("r", "C", "M", "e1")] == 1
+    assert ("r", "C", "M", "e3") not in capped
+
+
+def test_comention_pmi_matches_formula(spark):
+    import math
+
+    from ner_funtool_spark.operators.graph import comention_pmi
+
+    # docs: d1={a,b}, d2={a,b}, d3={a,c}, d4={b}
+    rows = [("r", "d1", "a"), ("r", "d1", "b"), ("r", "d2", "a"),
+            ("r", "d2", "b"), ("r", "d3", "a"), ("r", "d3", "c"),
+            ("r", "d4", "b")]
+    m = spark.createDataFrame(rows, "repo string, path string, text string")
+    got = {(r["a"], r["b"]): r for r in
+           comention_pmi(m, min_pair_docs=2).collect()}
+    assert set(got) == {("a", "b")}  # (a,c) has n_ab=1 < 2
+    r = got[("a", "b")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert abs(r["pmi"] - round(math.log(2 * 4 / (3 * 3)), 6)) < 1e-9
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from ner_funtool_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+    adj = set(edges)
+    want = {}
+    for x, y, z in itertools.combinations(sorted(nodes), 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+def test_key_skew_report(spark):
+    from ner_funtool_spark.operators.analytics import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert set(out) == {"hot", "warm"}  # top-2 only
+    assert out["hot"]["rank"] == 1 and out["warm"]["rank"] == 2
+    assert abs(out["hot"]["share"] - 0.6) < 1e-9
+    assert abs(out["hot"]["cum_share"] - 0.6) < 1e-9
+    assert abs(out["warm"]["cum_share"] - 0.9) < 1e-9

@@ -265,3 +265,52 @@ def test_stream_triples_upsert_converges_to_batch(spark, tmp_path):
     # store is key-unique (the MERGE invariant)
     st = spark.read.parquet(store)
     assert st.count() == st.select("subj", "pred", "obj").distinct().count()
+
+
+def test_dedup_stream_suppresses_redeliveries(spark, tmp_path):
+    """Duplicates planted across micro-batches (maxFilesPerTrigger=1 so
+    each file is its own batch): every key surfaces exactly once, and
+    the surviving set equals the batch dropDuplicates result."""
+    from ner_funtool_spark.streaming.stream import dedup_stream
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    rows1 = [(i, f"2024-01-01 10:{i % 60:02d}:00", i, "click", 1.0, "{}")
+             for i in range(50)]
+    # batch 2 re-delivers every 5th key with a slightly later ts
+    rows2 = [(i, f"2024-01-01 10:{(i % 60):02d}:30", i, "click", 1.0, "{}")
+             for i in range(0, 50, 5)] + [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", i, "click", 1.0, "{}")
+        for i in range(50, 60)
+    ]
+    schema = ("event_id bigint, ts_s string, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def write_one(rows, name):
+        (spark.createDataFrame(rows, schema)
+         .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 "user_id", "event_type", "value", "props")
+         .coalesce(1).write.mode("append").parquet(str(src / name)))
+
+    write_one(rows1, "b1")
+    write_one(rows2, "b2")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    deduped = dedup_stream(stream, key_cols=("event_id",), watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_stream_t").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_t").select("event_id").collect()
+    ids = [r["event_id"] for r in got]
+    assert sorted(ids) == list(range(60))  # every key exactly once
+    assert len(ids) == len(set(ids))

@@ -39,6 +39,11 @@ PLAN_QUERIES = [
     "dedup_incremental",
     "kg_comention",
     "multimodal_features",
+    # r3 continuation: graph-analytics tier (kg_triangles is excluded
+    # like kg_pagerank: its eager-checkpointed result plan is opaque)
+    "kg_two_hop",
+    "kg_comention_pmi",
+    "kg_skew_report",
 ]
 
 

@@ -1023,6 +1023,44 @@ def _q_kg_skew_report(spark, sf_dir):
     return key_skew_report(t.select("subj"), "subj", top_k=20)
 
 
+def _q_kg_communities(spark, sf_dir):
+    """Label-propagation communities on the co-mention graph (fixed 5
+    sync rounds, plurality label with smallest-label tie-break) — the
+    entity-clustering signal next to connected components; the oracle
+    replays every round as unrolled CTEs."""
+    from ner_funtool_spark.operators.graph import comention_edges, label_propagation
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    return label_propagation(comention_edges(m))
+
+
+def _q_sketch_profile(spark, sf_dir):
+    """Sketch-vs-exact profiling gate: HLL distinct counts and
+    approx-percentile medians per source must stay within their error
+    bounds — violations vs a typed empty oracle (the profiling pass a
+    100 TB pipeline runs on sketches, never exact distincts)."""
+    from ner_funtool_spark.operators.analytics import sketch_profile_violations
+
+    return sketch_profile_violations(_docs(spark, sf_dir))
+
+
+KCORE_K = 48  # dense-core threshold on the co-mention graph
+KCORE_ROUNDS = 5
+
+
+def _q_kg_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling on the co-mention graph: surviving
+    (node, deg) after 5 peel rounds at k=KCORE_K — the dense-core
+    filter separating well-attested entities from one-off noise; the
+    oracle replays each round as unrolled CTEs."""
+    from ner_funtool_spark.operators.graph import comention_edges, kcore
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    return kcore(comention_edges(m), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -1095,6 +1133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_pmi": _q_kg_comention_pmi,
         "kg_triangles": _q_kg_triangles,
         "kg_skew_report": _q_kg_skew_report,
+        "kg_communities": _q_kg_communities,
+        "sketch_profile_invariants": _q_sketch_profile,
+        "kg_kcore": _q_kg_kcore,
     }
 
 
@@ -1181,6 +1222,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_pmi": oracles.kg_comention_pmi_sql(min_pair_docs=2),
         "kg_triangles": oracles.kg_triangles_sql(),
         "kg_skew_report": oracles.kg_skew_report_sql(top_k=20),
+        "kg_communities": oracles.kg_communities_sql(iterations=5),
+        "sketch_profile_invariants": oracles.sketch_profile_sql(),
+        "kg_kcore": oracles.kg_kcore_sql(k=KCORE_K, rounds=KCORE_ROUNDS),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the

@@ -79,6 +79,7 @@ def main() -> None:
         "kg_comention", "doc_packing", "triples_upsert_bloom",
         # r3 continuation: graph-analytics tier
         "kg_two_hop", "kg_comention_pmi", "kg_triangles", "kg_skew_report",
+        "kg_communities", "sketch_profile_invariants", "kg_kcore",
     ):
         # construction is inside the timing: declarative queries build
         # lazily (~ms), but queries that materialize eagerly during
@@ -97,6 +98,12 @@ def main() -> None:
         "n_files": n_files,
         "n_triples": n_triples,
         "kg_e2e_sec": timings["kg_code_e2e"],
+        # r3 continuation: per-query walls now include query
+        # CONSTRUCTION, so eagerly-materializing queries (canonicalize
+        # CC loop, pagerank, bloom build, triangles/LPA/kcore) report
+        # honest totals — r1/r2 per-query numbers timed only the final
+        # count and under-reported those queries; not comparable 1:1
+        "timing_semantics": "construct+count (r3+); earlier rounds count-only",
     }))
 
 

@@ -57,14 +57,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint()
+    n_prev = e.count()
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         # converged when the edge multiset is stable (star ops are
-        # deterministic, so set equality is a fixed-point check)
-        diff = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        e = e2
-        if diff == 0:
+        # deterministic, so set equality is a fixed-point check).
+        # Cheap exact form: a count() on the just-materialized
+        # checkpoint is ~free, and while the edge count still moves the
+        # multisets cannot be equal — so the exceptAll shuffle is paid
+        # ONLY on count-stable rounds, and one-sided emptiness plus
+        # equal counts already implies multiset equality (the old
+        # two-sided exceptAll doubled the dominant per-round cost)
+        n2 = e2.count()
+        if n2 == n_prev and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
             break
+        e = e2
+        n_prev = n2
     # fixed point: every edge is (node, root)
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("canonical_id"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("canonical_id")).distinct()

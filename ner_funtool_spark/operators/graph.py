@@ -223,6 +223,88 @@ def triangle_counts(edges: DataFrame, a_col: str = "a",
     return out
 
 
+LPA_ITERATIONS = 5
+
+
+def label_propagation(edges: DataFrame, a_col: str = "a", b_col: str = "b",
+                      iterations: int = LPA_ITERATIONS) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected
+    edge list (unordered a < b pairs, the ``comention_edges`` output
+    contract): labels start as the node id; each round every node
+    adopts the PLURALITY label among its neighbours, ties broken by
+    the lexicographically smallest label — fully deterministic, so the
+    DuckDB unrolled-CTE oracle replays every round exactly.  Returns
+    (node, community) after a FIXED iteration count (sync LPA can
+    oscillate on bipartite structures; a fixed horizon keeps the
+    result well-defined on both engines).
+
+    Shape at scale: per iteration one join (labels onto the edge list)
+    and two aggregations (neighbour-label counts, then a min-struct
+    argmax per node) — the same join+agg-per-round shape as pagerank;
+    ``localCheckpoint`` truncates lineage per round, the label
+    dimension is never broadcast (unbounded), no driver collect.
+    """
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
+        .distinct().persist()
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    nodes = und.select("u").distinct()
+    labels = nodes.withColumn("lbl", F.col("u"))
+    for _ in range(iterations):
+        nb = und.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        counts = nb.groupBy("u", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("lbl").alias("l"))).alias("m"))
+            .select("u", F.col("m.l").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    out = labels.select(
+        F.col("u").alias("node"), F.col("lbl").alias("community")
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    e.unpersist()
+    return out
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 5,
+          a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Bounded-round k-core peeling over an undirected edge list
+    (unordered a < b pairs): each round removes every node whose
+    current degree is below ``k`` together with its edges, then
+    recounts.  Returns (node, deg) for the surviving subgraph after a
+    FIXED number of rounds — the dense-core filter entity-graph
+    pipelines use to separate well-attested entities from one-off
+    noise.  With enough rounds this is the exact k-core; the fixed
+    horizon (same trade as pagerank/LPA iterations) keeps the oracle
+    replayable as unrolled CTEs and the plan depth bounded.
+
+    Shape at scale: per round one degree aggregation and two
+    semi-join-shaped filters against the surviving-node set (an
+    unbounded dimension — no broadcast hint, AQE decides);
+    ``localCheckpoint`` truncates lineage per round.
+    """
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
+        .distinct().persist()
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    for _ in range(rounds):
+        deg = und.groupBy("u").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("u")
+        und = (
+            und.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    out = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              iterations: int = PR_ITERATIONS,
              damping: float = DAMPING) -> DataFrame:

@@ -1777,7 +1777,7 @@ def kg_two_hop_sql(max_mid_degree: int) -> str:
     operator), path counts per (a, pred1, pred2, c)."""
     return f"""
 WITH {_triples_pred_cte()},
-dt AS (SELECT DISTINCT subj, pred, obj FROM triples),
+dt AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
 md AS (SELECT subj, count(*) AS d FROM dt GROUP BY subj),
 e2 AS (
     SELECT t.subj, t.pred, t.obj FROM dt t
@@ -1796,7 +1796,7 @@ def kg_comention_pmi_sql(min_pair_docs: int = 2) -> str:
     within the 6-decimal rounding (same argument as doc_tfidf)."""
     return f"""
 WITH {doc_mentions_cte()},
-ents AS (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
+ents AS MATERIALIZED (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
 pairs AS (
     SELECT a.e AS a, b.e AS b, count(*) AS n_ab
     FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
@@ -1822,8 +1822,8 @@ def kg_triangles_sql() -> str:
     match proves the orientation scheme is result-invariant."""
     return f"""
 WITH {doc_mentions_cte()},
-ents AS (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
-e AS (
+ents AS MATERIALIZED (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
+e AS MATERIALIZED (
     SELECT DISTINCT a.e AS a, b.e AS b
     FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
 ),
@@ -1847,7 +1847,7 @@ def kg_skew_report_sql(top_k: int = 20) -> str:
     integer running sum divided once at the end (float-order-free)."""
     return f"""
 WITH {_triples_pred_cte()},
-counts AS (SELECT subj AS key, count(*) AS n FROM triples GROUP BY subj),
+counts AS MATERIALIZED (SELECT subj AS key, count(*) AS n FROM triples GROUP BY subj),
 tot AS (SELECT sum(n) AS t FROM counts),
 top AS (
     SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk
@@ -1859,4 +1859,78 @@ SELECT key, n::BIGINT AS n,
        round(sum(n) OVER (ORDER BY rnk) * 1.0 / t, 6) AS cum_share,
        rnk::INT AS rank
 FROM top CROSS JOIN tot
+"""
+
+
+def kg_communities_sql(iterations: int = 5) -> str:
+    """Synchronous label propagation unrolled to one (count, argmax)
+    CTE pair per iteration — the same replay style as the pagerank
+    oracle; ties break by (count desc, label asc) on both engines."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+c{i} AS (
+    SELECT e.u, l.lbl, count(*) AS c
+    FROM und e JOIN l{i - 1} l ON e.v = l.u
+    GROUP BY e.u, l.lbl
+),
+l{i} AS (
+    SELECT u, lbl FROM c{i}
+    QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) = 1
+)""")
+    return f"""
+WITH {doc_mentions_cte()},
+ents AS MATERIALIZED (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
+eo AS MATERIALIZED (
+    SELECT DISTINCT a.e AS u, b.e AS v
+    FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
+),
+und AS MATERIALIZED (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM und),{",".join(rounds)}
+SELECT u AS node, lbl AS community FROM l{iterations}
+"""
+
+
+def sketch_profile_sql() -> str:
+    """Typed empty oracle for the sketch-vs-exact profiling gate."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS source,
+       CAST(NULL AS VARCHAR) AS check_name,
+       CAST(NULL AS DOUBLE) AS exact_distinct,
+       CAST(NULL AS DOUBLE) AS approx_distinct,
+       CAST(NULL AS DOUBLE) AS exact_p50,
+       CAST(NULL AS DOUBLE) AS approx_p50
+WHERE 1 = 0
+"""
+
+
+def kg_kcore_sql(k: int = 3, rounds: int = 5) -> str:
+    """Bounded-round k-core peeling unrolled to one
+    (degree, keep, filtered-edges) CTE triple per round.
+
+    Every u{i} is referenced three times by round i+1 (degree count +
+    both endpoint filters); DuckDB INLINES multiply-referenced CTEs by
+    default, which makes the naive form recompute the base mention
+    extraction 3^rounds times — ``AS MATERIALIZED`` pins each round to
+    one evaluation (the analog of the Spark side's per-round
+    localCheckpoint)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (SELECT u, count(*) AS c FROM u{i - 1} GROUP BY u),
+k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {k}),
+u{i} AS MATERIALIZED (
+    SELECT e.u, e.v FROM u{i - 1} e
+    JOIN k{i} a ON e.u = a.u
+    JOIN k{i} b ON e.v = b.u
+)""")
+    return f"""
+WITH {doc_mentions_cte()},
+ents AS MATERIALIZED (SELECT DISTINCT repo, path, text AS e FROM mention_rows),
+eo AS MATERIALIZED (
+    SELECT DISTINCT a.e AS u, b.e AS v
+    FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
+),
+u0 AS MATERIALIZED (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),{",".join(parts)}
+SELECT u AS node, count(*)::BIGINT AS deg FROM u{rounds} GROUP BY u
 """

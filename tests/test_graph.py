@@ -139,3 +139,100 @@ def test_key_skew_report(spark):
     assert abs(out["hot"]["share"] - 0.6) < 1e-9
     assert abs(out["hot"]["cum_share"] - 0.6) < 1e-9
     assert abs(out["warm"]["cum_share"] - 0.9) < 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: each clique converges
+    to its smallest member's label; deterministic plurality+min rule."""
+    from ner_funtool_spark.operators.graph import label_propagation
+
+    edges = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+             ("a3", "b1")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert got["a1"] == got["a2"] == got["a3"]
+    assert got["b2"] == got["b3"]
+    # the two cliques do not merge into one community
+    assert got["a1"] != got["b2"]
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Fixed-iteration sync LPA replayed in pure python on a random
+    graph — the Spark loop must match round for round."""
+    import random
+    from collections import Counter, defaultdict
+
+    from ner_funtool_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(35)})
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n in adj:
+            c = Counter(lbl[m] for m in adj[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        lbl = new
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert got == lbl
+
+
+def test_sketch_profile_violations_empty_and_triggers(spark):
+    from ner_funtool_spark.operators.analytics import sketch_profile_violations
+
+    d = spark.createDataFrame(
+        [(i, f"text {i % 40}", "en", f"s{i % 2}", 100 + i % 7)
+         for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert sketch_profile_violations(d).count() == 0
+    # an impossible bound must trip and emit typed violation rows
+    out = sketch_profile_violations(d, max_distinct_rel_err=-1.0,
+                                    max_quantile_rel_err=-1.0)
+    rows = out.collect()
+    assert len(rows) == 4  # 2 sources x 2 checks
+    assert {r["check_name"] for r in rows} == {"distinct", "quantile"}
+
+
+def test_kcore_matches_python_peeling(spark):
+    """Bounded-round peeling replayed in pure python; also checks the
+    classic case where a node's degree drops below k only after its
+    neighbour is peeled (cascade)."""
+    import random
+    from collections import defaultdict
+
+    from ner_funtool_spark.operators.graph import kcore
+
+    rng = random.Random(3)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+    # plus a chain hanging off the graph: peels over successive rounds
+    edges += [("n00", "x1"), ("x1", "x2"), ("x2", "x3")]
+
+    def replay(es, k, rounds):
+        es = set(es)
+        for _ in range(rounds):
+            deg = defaultdict(int)
+            for u, v in es:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            es = {(u, v) for u, v in es if u in keep and v in keep}
+        deg = defaultdict(int)
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        return dict(deg)
+
+    df = spark.createDataFrame(sorted(edges), "a string, b string")
+    for k in (2, 3):
+        got = {r["node"]: r["deg"] for r in kcore(df, k=k, rounds=5).collect()}
+        assert got == replay(edges, k, 5), k

@@ -1023,6 +1023,15 @@ def _q_kg_skew_report(spark, sf_dir):
     return key_skew_report(t.select("subj"), "subj", top_k=20)
 
 
+def _q_ann_topk_pq(spark, sf_dir):
+    """PQ asymmetric-distance ANN: corpus compressed to 8 code bytes
+    per vector (64x memory cut), candidates scored via 8 table lookups
+    — the same seeded-codebook literals on both engines."""
+    from ner_funtool_spark.operators.similarity import topk_pq
+
+    return topk_pq(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
+
+
 def _q_kg_communities(spark, sf_dir):
     """Label-propagation communities on the co-mention graph (fixed 5
     sync rounds, plurality label with smallest-label tie-break) — the
@@ -1136,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "sketch_profile_invariants": _q_sketch_profile,
         "kg_kcore": _q_kg_kcore,
+        "ann_topk_pq": _q_ann_topk_pq,
     }
 
 
@@ -1225,6 +1235,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": oracles.kg_communities_sql(iterations=5),
         "sketch_profile_invariants": oracles.sketch_profile_sql(),
         "kg_kcore": oracles.kg_kcore_sql(k=KCORE_K, rounds=KCORE_ROUNDS),
+        "ann_topk_pq": oracles.ann_topk_pq_sql(
+            ANN_QUERY_MAX, ANN_K, _pq_codebooks()
+        ),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the
@@ -1242,6 +1255,12 @@ def _ts():
     from ner_funtool_spark.functions import textstats
 
     return textstats
+
+
+def _pq_codebooks():
+    from ner_funtool_spark.operators.similarity import seeded_pq_codebooks
+
+    return seeded_pq_codebooks()
 
 
 def _ivf_centroids():

@@ -295,3 +295,121 @@ def near_duplicates_cosine(embeddings: DataFrame, threshold: float,
         .filter(sc >= threshold)
         .select("a", "b", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side ANN scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_K = 16       # codes per subspace
+PQ_SUBDIM = EMBED_DIM // PQ_M
+
+
+def seeded_pq_codebooks(m: int = PQ_M, k: int = PQ_K,
+                        subdim: int = PQ_SUBDIM,
+                        seed: int = SEED) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks, rounded so the DuckDB
+    oracle embeds exactly the same literals (same contract as
+    seeded_centroids: a trained sub-k-means is a drop-in)."""
+    rng = np.random.RandomState(seed + 29)
+    cb = rng.randn(m, k, subdim)
+    return [[[round(float(v), 6) for v in code] for code in sub] for sub in cb]
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebook_df(spark, codebooks):
+    return spark.createDataFrame(
+        [(m, j, [float(v) for v in code])
+         for m, sub in enumerate(codebooks) for j, code in enumerate(sub)],
+        "m int, j int, cvec array<double>",
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebooks=None, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, m, code): each vector compressed to PQ_M code ids — 8 bytes
+    instead of 64 doubles, the 64x memory cut that lets a 100 TB
+    embedding corpus live in executor memory for candidate scoring.
+
+    Relational shape: explode each vector into its M subvectors, join
+    the 128-row codebook (broadcast), argmin per (id, m) via a
+    min-struct (squared-L2 then code id — total order, deterministic,
+    oracle-mirrored).  No UDF: the distance is a codegen fold.
+    """
+    if codebooks is None:
+        codebooks = seeded_pq_codebooks()
+    spark = embeddings.sparkSession
+    cb = _pq_codebook_df(spark, codebooks)
+    subs = F.array(*[
+        F.struct(F.lit(m).alias("m"),
+                 F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+        for m in range(len(codebooks))
+    ])
+    sub = embeddings.select(F.col(id_col), F.explode(subs).alias("s")) \
+        .select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    dist = sub.join(F.broadcast(cb), "m").withColumn(
+        "d", _l2sq(F.col("sv"), F.col("cvec"))
+    )
+    return (
+        dist.groupBy(id_col, "m")
+        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("j").alias("j"))).alias("mn"))
+        .select(id_col, "m", F.col("mn.j").alias("code"))
+    )
+
+
+def topk_pq(embeddings: DataFrame, query_ids: list[int], k: int,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            codebooks=None) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are scored
+    against a query through their 8 code ids only — per (query, m)
+    the query precomputes a 16-entry distance table, and a candidate's
+    approximate distance is the sum of 8 table lookups.
+
+    (query_id, neighbor_id, adist, rank), adist ascending.  Everything
+    is an equi-join: codes ⋈ query-table on (m, code), then one
+    aggregation — at scale this composes with the IVF lists (probe
+    cluster -> ADC-score its list -> exact re-rank survivors); here the
+    full-scan form is the oracle-checked unit.  Rank orders by the
+    ROUNDED adist + id tie-break on both engines (the cross-engine
+    float rule: the 8-way sum's association order is engine-internal).
+    """
+    if codebooks is None:
+        codebooks = seeded_pq_codebooks()
+    spark = embeddings.sparkSession
+    cb = _pq_codebook_df(spark, codebooks)
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    qsubs = F.array(*[
+        F.struct(F.lit(m).alias("m"),
+                 F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+        for m in range(len(codebooks))
+    ])
+    qtab = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.explode(qsubs).alias("s"))
+        .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", F.col("j").alias("code"),
+                _l2sq(F.col("sv"), F.col("cvec")).alias("qd"))
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist",
+                F.col("rank").cast("int").alias("rank"))
+    )

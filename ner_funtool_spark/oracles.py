@@ -1934,3 +1934,57 @@ eo AS MATERIALIZED (
 u0 AS MATERIALIZED (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),{",".join(parts)}
 SELECT u AS node, count(*)::BIGINT AS deg FROM u{rounds} GROUP BY u
 """
+
+
+def ann_topk_pq_sql(query_max_id: int, k: int,
+                    codebooks: list[list[list[float]]],
+                    subdim: int = 8) -> str:
+    """PQ/ADC mirror: same seeded codebook literals, argmin encode via
+    explicit row_number (squared-L2 asc, code id asc), 8-way
+    table-lookup sum rounded to 6 decimals, rank by ROUNDED distance +
+    id tie-break (operators/similarity.py:topk_pq)."""
+    m_count = len(codebooks)
+    rows = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(v) for v in code)}]::DOUBLE[])"
+        for m, sub in enumerate(codebooks) for j, code in enumerate(sub)
+    )
+    l2 = (f"list_sum(list_transform(range({subdim}), i -> "
+          f"(s.sv[i + 1]::DOUBLE - c.cvec[i + 1]) * "
+          f"(s.sv[i + 1]::DOUBLE - c.cvec[i + 1])))")
+    return f"""
+WITH cb(m, j, cvec) AS MATERIALIZED (VALUES {rows}),
+sub AS MATERIALIZED (
+    SELECT vec_id, m,
+           embedding[m * {subdim} + 1 : m * {subdim} + {subdim}] AS sv
+    FROM embeddings, range({m_count}) r(m)
+),
+enc AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, c.j,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {l2} ASC, c.j ASC) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+    ) WHERE rn = 1
+),
+qtab AS MATERIALIZED (
+    SELECT s.vec_id AS query_id, s.m, c.j AS code, {l2} AS qd
+    FROM sub s JOIN cb c ON s.m = c.m
+    WHERE s.vec_id < {query_max_id}
+),
+scored AS (
+    SELECT t.query_id, e.neighbor_id, round(sum(t.qd), 6) AS adist
+    FROM enc e JOIN qtab t ON e.m = t.m AND e.code = t.code
+    WHERE e.neighbor_id <> t.query_id
+    GROUP BY t.query_id, e.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, adist, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -366,3 +366,66 @@ def test_ngram_jaccard_incremental_matches_self_join_restriction(spark):
     for pair, score in originals.items():
         assert rows.get(pair) == 1.0, pair
     assert len(rows) >= n_new
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """PQ codes replayed in numpy: per (vector, subspace) the code is
+    the squared-L2 argmin over the seeded codebook, ties to lowest id."""
+    from ner_funtool_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        pq_encode,
+        seeded_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(30, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = np.array(seeded_pq_codebooks())  # (M, K, SUBDIM)
+    got = {(r["vec_id"], r["m"]): r["code"] for r in pq_encode(df).collect()}
+    for i in range(30):
+        for m in range(PQ_M):
+            sv = X[i, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            d = ((cb[m] - sv) ** 2).sum(axis=1)
+            assert got[(i, m)] == int(np.argmin(d)), (i, m)
+
+
+def test_topk_pq_adc_matches_numpy(spark):
+    """ADC distances replayed in numpy: adist(query, cand) must equal
+    the sum of per-subspace query-to-codeword distances (6dp)."""
+    from ner_funtool_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        seeded_pq_codebooks,
+        topk_pq,
+    )
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(25, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = np.array(seeded_pq_codebooks())
+    codes = np.array([
+        [int(np.argmin(((cb[m] - X[i, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]) ** 2)
+                       .sum(axis=1))) for m in range(PQ_M)]
+        for i in range(25)
+    ])
+    rows = topk_pq(df, [0, 1], 5).collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    for r in rows:
+        q, n = r["query_id"], r["neighbor_id"]
+        want = sum(
+            ((X[q, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] - cb[m][codes[n, m]]) ** 2).sum()
+            for m in range(PQ_M)
+        )
+        assert abs(r["adist"] - round(want, 6)) < 1e-6, (q, n)
+    # ranks are 1..5 per query, ascending adist
+    for q in (0, 1):
+        rs = sorted([r for r in rows if r["query_id"] == q], key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert all(rs[i]["adist"] <= rs[i + 1]["adist"] for i in range(4))

@@ -1023,6 +1023,18 @@ def _q_kg_skew_report(spark, sf_dir):
     return key_skew_report(t.select("subj"), "subj", top_k=20)
 
 
+PPR_SEEDS = ["src1", "src5"]  # repos present at every test sf
+
+
+def _q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank from two seed repos over the triples edge
+    graph — relatedness-to-these-entities; oracle replays every round
+    with the same teleport vector."""
+    from ner_funtool_spark.operators.graph import pagerank_personalized
+
+    return pagerank_personalized(_triples_edges(spark, sf_dir), PPR_SEEDS)
+
+
 def _q_ann_topk_pq(spark, sf_dir):
     """PQ asymmetric-distance ANN: corpus compressed to 8 code bytes
     per vector (64x memory cut), candidates scored via 8 table lookups
@@ -1030,6 +1042,16 @@ def _q_ann_topk_pq(spark, sf_dir):
     from ner_funtool_spark.operators.similarity import topk_pq
 
     return topk_pq(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
+
+
+def _q_ann_topk_ivf_pq(spark, sf_dir):
+    """Composed IVF+PQ: candidates bounded by the probed IVF lists,
+    scored through 8 PQ code bytes — the full 100 TB ANN shape, every
+    stage an equi-join with literal-seeded state on both engines."""
+    from ner_funtool_spark.operators.similarity import topk_ivf_pq
+
+    return topk_ivf_pq(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)),
+                       ANN_K)
 
 
 def _q_kg_communities(spark, sf_dir):
@@ -1146,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile_invariants": _q_sketch_profile,
         "kg_kcore": _q_kg_kcore,
         "ann_topk_pq": _q_ann_topk_pq,
+        "kg_ppr": _q_kg_ppr,
+        "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
     }
 
 
@@ -1237,6 +1261,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": oracles.kg_kcore_sql(k=KCORE_K, rounds=KCORE_ROUNDS),
         "ann_topk_pq": oracles.ann_topk_pq_sql(
             ANN_QUERY_MAX, ANN_K, _pq_codebooks()
+        ),
+        "kg_ppr": oracles.kg_ppr_sql(PPR_SEEDS),
+        "ann_topk_ivf_pq": oracles.ann_topk_ivf_pq_sql(
+            ANN_QUERY_MAX, ANN_K, _ivf_centroids(), _pq_codebooks(),
+            _ivf_nprobe(),
         ),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the

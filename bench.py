@@ -80,7 +80,7 @@ def main() -> None:
         # r3 continuation: graph-analytics tier
         "kg_two_hop", "kg_comention_pmi", "kg_triangles", "kg_skew_report",
         "kg_communities", "sketch_profile_invariants", "kg_kcore",
-        "ann_topk_pq",
+        "ann_topk_pq", "kg_ppr", "ann_topk_ivf_pq",
     ):
         # construction is inside the timing: declarative queries build
         # lazily (~ms), but queries that materialize eagerly during

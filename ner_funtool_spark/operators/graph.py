@@ -223,6 +223,77 @@ def triangle_counts(edges: DataFrame, a_col: str = "a",
     return out
 
 
+def pagerank_personalized(edges: DataFrame, seeds: list[str],
+                          src_col: str = "src", dst_col: str = "dst",
+                          iterations: int = PR_ITERATIONS,
+                          damping: float = DAMPING) -> DataFrame:
+    """Personalized PageRank: restart (and dangling) mass teleports to
+    the SEED set instead of uniformly — relatedness-to-these-entities,
+    the query behind "related repos/symbols" KG features.
+
+    pr_{t+1}(v) = (1-d)*s(v) + d*(sum_{u->v} pr_t(u)/od(u) + dm_t*s(v))
+
+    with s(v) = 1/|S| for seed nodes present in the graph, else 0.
+    Same per-iteration join+agg shape and checkpoint hygiene as
+    ``pagerank``; the teleport vector is one extra column carried on
+    the node table, NOT a broadcast (seeds are a literal list, but the
+    node table itself stays distributed).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_seed = nodes.filter(F.col("node").isin(seeds)).count()
+    if n_seed == 0:
+        out = nodes.select("node", F.lit(0.0).cast("double").alias("pr")).limit(0)
+        e.unpersist()
+        nodes.unpersist()
+        return out
+    tele = nodes.withColumn(
+        "sv",
+        F.when(F.col("node").isin(seeds), F.lit(1.0 / n_seed)).otherwise(F.lit(0.0)),
+    ).persist()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = tele.select("node", F.col("sv").alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            tele.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("sv")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") * F.col("sv"))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("node", F.round("pr", 6).alias("pr")).localCheckpoint(
+        eager=True
+    )
+    tele.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 LPA_ITERATIONS = 5
 
 

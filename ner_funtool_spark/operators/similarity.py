@@ -365,6 +365,29 @@ def pq_encode(embeddings: DataFrame, codebooks=None, id_col: str = "vec_id",
     )
 
 
+def _pq_query_table(embeddings: DataFrame, query_ids: list[int], codebooks,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(query_id, m, code, qd): each query's per-subspace distance
+    table against the full codebook — M*K rows per query, the only
+    broadcast state ADC scoring needs."""
+    spark = embeddings.sparkSession
+    cb = _pq_codebook_df(spark, codebooks)
+    qsubs = F.array(*[
+        F.struct(F.lit(m).alias("m"),
+                 F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+        for m in range(len(codebooks))
+    ])
+    return (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.explode(qsubs).alias("s"))
+        .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", F.col("j").alias("code"),
+                _l2sq(F.col("sv"), F.col("cvec")).alias("qd"))
+    )
+
+
 def topk_pq(embeddings: DataFrame, query_ids: list[int], k: int,
             id_col: str = "vec_id", vec_col: str = "embedding",
             codebooks=None) -> DataFrame:
@@ -383,25 +406,58 @@ def topk_pq(embeddings: DataFrame, query_ids: list[int], k: int,
     """
     if codebooks is None:
         codebooks = seeded_pq_codebooks()
-    spark = embeddings.sparkSession
-    cb = _pq_codebook_df(spark, codebooks)
     codes = pq_encode(embeddings, codebooks, id_col, vec_col) \
         .withColumnRenamed(id_col, "neighbor_id")
-    qsubs = F.array(*[
-        F.struct(F.lit(m).alias("m"),
-                 F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
-        for m in range(len(codebooks))
-    ])
-    qtab = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.explode(qsubs).alias("s"))
-        .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-        .join(F.broadcast(cb), "m")
-        .select("query_id", "m", F.col("j").alias("code"),
-                _l2sq(F.col("sv"), F.col("cvec")).alias("qd"))
-    )
+    qtab = _pq_query_table(embeddings, query_ids, codebooks, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(qtab), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def topk_ivf_pq(embeddings: DataFrame, query_ids: list[int], k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                centroids: list[list[float]] | None = None,
+                codebooks=None, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """The composed 100 TB ANN shape: IVF lists bound the candidate
+    set (probe ``nprobe`` clusters), PQ/ADC scores the survivors
+    through 8 code bytes each — neither the raw vectors nor the full
+    corpus ever enter the scoring join.  Per query the scan cost is
+    (corpus/n_lists)*nprobe candidates x 8 integer lookups, and the
+    candidate state is 64x smaller than the float vectors.
+
+    (query_id, neighbor_id, adist, rank) — rank by the ROUNDED ADC
+    distance + id tie-break, both engines.
+    """
+    if centroids is None:
+        centroids = seeded_centroids()
+    if codebooks is None:
+        codebooks = seeded_pq_codebooks()
+    corpus_cid = assign_clusters(embeddings, centroids, id_col, vec_col,
+                                 nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), "cid"
+    )
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    cand = codes.join(corpus_cid, "neighbor_id")
+    q = embeddings.filter(F.col(id_col).isin(query_ids))
+    q_probe = assign_clusters(q, centroids, id_col, vec_col,
+                              nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "cid"
+    )
+    qtab = _pq_query_table(embeddings, query_ids, codebooks, id_col, vec_col)
+    scored = (
+        cand.join(F.broadcast(q_probe), "cid")
+        .join(F.broadcast(qtab), ["query_id", "m", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("qd"), 6).alias("adist"))

@@ -1988,3 +1988,125 @@ ranked AS (
 SELECT query_id, neighbor_id, adist, rank::INT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def kg_ppr_sql(seeds: list[str], iterations: int = 5,
+               damping: float = 0.85) -> str:
+    """Personalized PageRank mirror: restart + dangling mass teleport
+    to the seed distribution; same unrolled-CTE replay style as
+    kg_pagerank_sql, with the shared edge/teleport CTEs MATERIALIZED
+    (referenced once per round)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    iters = []
+    for t in range(iterations):
+        iters.append(f"""
+pr{t + 1} AS (
+    SELECT tl.node,
+           {one_minus_d} * tl.sv
+           + {d} * (COALESCE(c.s, 0) + dm.m * tl.sv) AS pr
+    FROM tele tl
+    CROSS JOIN (SELECT COALESCE(sum(p.pr), 0) AS m
+                FROM pr{t} p ANTI JOIN deg d ON p.node = d.src) dm
+    LEFT JOIN (SELECT e.dst AS node, sum(p.pr / d.od) AS s
+               FROM edges e JOIN pr{t} p ON e.src = p.node
+               JOIN deg d ON e.src = d.src
+               GROUP BY e.dst) c ON tl.node = c.node
+)""")
+    return f"""
+WITH {_triples_edges_cte()},
+edges AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seedn AS (SELECT count(*)::DOUBLE AS ns FROM nodes
+          WHERE node IN ({seed_list})),
+tele AS MATERIALIZED (
+    SELECT n.node,
+           CASE WHEN n.node IN ({seed_list}) THEN 1.0 / sn.ns
+                ELSE 0.0 END AS sv
+    FROM nodes n CROSS JOIN seedn sn
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+pr0 AS (SELECT node, sv AS pr FROM tele),
+{",".join(iters)}
+SELECT node, round(pr, 6) AS pr FROM pr{iterations}
+"""
+
+
+def ann_topk_ivf_pq_sql(query_max_id: int, k: int,
+                        centroids: list[list[float]],
+                        codebooks: list[list[list[float]]],
+                        nprobe: int, subdim: int = 8,
+                        dim: int = 64) -> str:
+    """Composed IVF+PQ mirror: candidates bounded by the query's nprobe
+    nearest centroid lists (same literals/tie-breaks as the IVF
+    oracle), scored by the PQ/ADC table-lookup sum (same codebook
+    literals as the PQ oracle), ranked by rounded distance + id."""
+    cvalues = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(centroids)
+    )
+    ccos = _cosine_sql("e.embedding", "c.vec", dim)
+    m_count = len(codebooks)
+    rows = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(v) for v in code)}]::DOUBLE[])"
+        for m, sub in enumerate(codebooks) for j, code in enumerate(sub)
+    )
+    l2 = (f"list_sum(list_transform(range({subdim}), i -> "
+          f"(s.sv[i + 1]::DOUBLE - c.cvec[i + 1]) * "
+          f"(s.sv[i + 1]::DOUBLE - c.cvec[i + 1])))")
+    return f"""
+WITH cents(cid, vec) AS (VALUES {cvalues}),
+cscored AS MATERIALIZED (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cid ASC) AS pr
+    FROM embeddings e CROSS JOIN cents c
+),
+corpus_cid AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, cid FROM cscored WHERE pr = 1
+),
+qprobe AS MATERIALIZED (
+    SELECT vec_id AS query_id, cid
+    FROM cscored WHERE pr <= {nprobe} AND vec_id < {query_max_id}
+),
+cb(m, j, cvec) AS MATERIALIZED (VALUES {rows}),
+sub AS MATERIALIZED (
+    SELECT vec_id, m,
+           embedding[m * {subdim} + 1 : m * {subdim} + {subdim}] AS sv
+    FROM embeddings, range({m_count}) r(m)
+),
+enc AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, c.j,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {l2} ASC, c.j ASC) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+    ) WHERE rn = 1
+),
+qtab AS MATERIALIZED (
+    SELECT s.vec_id AS query_id, s.m, c.j AS code, {l2} AS qd
+    FROM sub s JOIN cb c ON s.m = c.m
+    WHERE s.vec_id < {query_max_id}
+),
+scored AS (
+    SELECT qp.query_id, cc.neighbor_id, round(sum(t.qd), 6) AS adist
+    FROM corpus_cid cc
+    JOIN qprobe qp ON cc.cid = qp.cid
+    JOIN enc e ON e.neighbor_id = cc.neighbor_id
+    JOIN qtab t ON t.query_id = qp.query_id
+               AND t.m = e.m AND t.code = e.code
+    WHERE cc.neighbor_id <> qp.query_id
+    GROUP BY qp.query_id, cc.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, adist, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""

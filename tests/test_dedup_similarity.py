@@ -429,3 +429,35 @@ def test_topk_pq_adc_matches_numpy(spark):
         rs = sorted([r for r in rows if r["query_id"] == q], key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         assert all(rs[i]["adist"] <= rs[i + 1]["adist"] for i in range(4))
+
+
+def test_topk_ivf_pq_candidates_and_distances(spark):
+    """Composed IVF+PQ: every returned neighbor must live in one of the
+    query's probed IVF lists, and its adist must equal the full-scan PQ
+    distance (same codes, same table)."""
+    from ner_funtool_spark.operators.similarity import (
+        seeded_centroids,
+        topk_ivf_pq,
+        topk_pq,
+    )
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(40, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    C = np.array(seeded_centroids())
+
+    def cosines(v):
+        return (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+
+    got = topk_ivf_pq(df, [0, 1], 5, nprobe=2).collect()
+    # full-scan PQ distances for reference (large k to cover everything)
+    full = {(r["query_id"], r["neighbor_id"]): r["adist"]
+            for r in topk_pq(df, [0, 1], 39).collect()}
+    for r in got:
+        q, n = r["query_id"], r["neighbor_id"]
+        probed = set(np.argsort(-cosines(X[q]))[:2])
+        assert int(np.argmax(cosines(X[n]))) in probed, (q, n)
+        assert full[(q, n)] == r["adist"], (q, n)

@@ -236,3 +236,37 @@ def test_kcore_matches_python_peeling(spark):
     for k in (2, 3):
         got = {r["node"]: r["deg"] for r in kcore(df, k=k, rounds=5).collect()}
         assert got == replay(edges, k, 5), k
+
+
+def test_ppr_matches_numpy(spark):
+    from ner_funtool_spark.operators.graph import pagerank_personalized
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]  # d dangling
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in
+           pagerank_personalized(df, ["a"]).collect()}
+    # numpy replay: teleport mass (restart + dangling) all flows to 'a'
+    idx = {"a": 0, "b": 1, "c": 2, "d": 3}
+    od = np.zeros(4)
+    for s, _ in edges:
+        od[idx[s]] += 1
+    sv = np.array([1.0, 0, 0, 0])
+    pr = sv.copy()
+    for _ in range(5):
+        contrib = np.zeros(4)
+        for s, t in edges:
+            contrib[idx[t]] += pr[idx[s]] / od[idx[s]]
+        dm = pr[od == 0].sum()
+        pr = 0.15 * sv + 0.85 * (contrib + dm * sv)
+    for n, i in idx.items():
+        assert abs(got[n] - pr[i]) < 1e-6, n
+    # seeded node holds the plurality of the mass
+    assert got["a"] == max(got.values())
+
+
+def test_ppr_no_seed_in_graph_is_empty(spark):
+    from ner_funtool_spark.operators.graph import pagerank_personalized
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = pagerank_personalized(df, ["zz"])
+    assert out.columns == ["node", "pr"] and out.count() == 0

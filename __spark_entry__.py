@@ -1054,6 +1054,76 @@ def _q_ann_topk_ivf_pq(spark, sf_dir):
                        ANN_K)
 
 
+def _q_ann_pq_trained_invariants(spark, sf_dir):
+    """Trained-PQ driver gate (the PQ analog of
+    ann_ivf_trained_invariants): per-subspace k-means codebooks must
+    CUT quantization distortion vs the seeded codebooks (the objective
+    Lloyd's minimizes — a strict, margin-rich property), the trained
+    codebook shape must be (PQ_M, PQ_K, PQ_SUBDIM), and the trained
+    top-k must be structurally sound.  Violations vs a typed empty
+    oracle; the trainer itself is not SQL-expressible."""
+    from ner_funtool_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        pq_distortion,
+        pq_train_codebooks,
+        seeded_pq_codebooks,
+        topk_pq,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    trained = pq_train_codebooks(emb)
+    qids = list(range(ANN_QUERY_MAX))
+    dist_t = pq_distortion(emb, trained).withColumnRenamed("total", "t")
+    dist_s = pq_distortion(emb, seeded_pq_codebooks()) \
+        .withColumnRenamed("total", "s")
+    distortion_viol = (
+        dist_t.crossJoin(dist_s)
+        .filter(F.col("t") > F.col("s"))
+        .select(
+            F.lit("trained_distortion_le_seeded").alias("invariant"),
+            F.col("t").cast("bigint").alias("value"),
+            F.col("s").cast("bigint").alias("baseline"),
+        )
+    )
+    ok_shape = (
+        len(trained) == PQ_M
+        and all(len(sub) == PQ_K for sub in trained)
+        and all(len(code) == PQ_SUBDIM for sub in trained for code in sub)
+    )
+    shape_viol = (
+        spark.createDataFrame([(1 if ok_shape else 0,)], "ok long")
+        .filter(F.col("ok") == 0)
+        .select(
+            F.lit("codebook_shape").alias("invariant"),
+            F.col("ok").cast("bigint").alias("value"),
+            F.lit(1).cast("bigint").alias("baseline"),
+        )
+    )
+    pq_t = topk_pq(emb, qids, ANN_K, codebooks=trained)
+    rank_viol = pq_t.filter(
+        (F.col("rank") < 1) | (F.col("rank") > ANN_K)
+    ).select(
+        F.lit("rank_bounds").alias("invariant"),
+        F.col("rank").cast("bigint").alias("value"),
+        F.lit(ANN_K).cast("bigint").alias("baseline"),
+    )
+    size_viol = (
+        pq_t.groupBy("query_id").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > ANN_K)
+        .select(
+            F.lit("topk_size").alias("invariant"),
+            F.col("n").cast("bigint").alias("value"),
+            F.lit(ANN_K).cast("bigint").alias("baseline"),
+        )
+    )
+    return (
+        distortion_viol.unionByName(shape_viol)
+        .unionByName(rank_viol).unionByName(size_viol)
+    )
+
+
 def _q_kg_communities(spark, sf_dir):
     """Label-propagation communities on the co-mention graph (fixed 5
     sync rounds, plurality label with smallest-label tie-break) — the
@@ -1170,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": _q_ann_topk_pq,
         "kg_ppr": _q_kg_ppr,
         "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
+        "ann_pq_trained_invariants": _q_ann_pq_trained_invariants,
     }
 
 
@@ -1267,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
             ANN_QUERY_MAX, ANN_K, _ivf_centroids(), _pq_codebooks(),
             _ivf_nprobe(),
         ),
+        "ann_pq_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the

@@ -469,3 +469,86 @@ def topk_ivf_pq(embeddings: DataFrame, query_ids: list[int], k: int,
         .select("query_id", "neighbor_id", "adist",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                       iterations: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means on squared L2 — the trainer behind
+    topk_pq for real corpora (seeded_pq_codebooks is the oracle-able
+    stand-in, exactly the kmeans_centroids/seeded_centroids split).
+
+    All M subspaces train in the SAME distributed pass: the corpus is
+    exploded once into (id, m, subvector) rows, assignment is one
+    broadcast join + min-struct argmin keyed by (id, m), the update is
+    one element-wise mean per (m, code, pos).  Only the M*K*SUBDIM
+    codebook (1k floats) ever reaches the driver — broadcast state,
+    not data.  Deterministic: init from the k lowest-id vectors'
+    subvectors; empty codes keep their previous centroid.
+    """
+    spark = embeddings.sparkSession
+    subs = F.array(*[
+        F.struct(F.lit(i).alias("m"),
+                 F.slice(F.col(vec_col), i * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+        for i in range(m)
+    ])
+    sub = embeddings.select(F.col(id_col).alias("vid"),
+                            F.explode(subs).alias("s")) \
+        .select("vid", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")) \
+        .persist()
+    first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    cb = [[[float(v) for v in r[vec_col][i * PQ_SUBDIM:(i + 1) * PQ_SUBDIM]]
+           for r in first] for i in range(m)]
+    for _ in range(iterations):
+        cbdf = _pq_codebook_df(spark, cb)
+        assigned = (
+            sub.join(F.broadcast(cbdf), "m")
+            .withColumn("d", _l2sq(F.col("sv"), F.col("cvec")))
+            .groupBy("vid", "m")
+            .agg(F.min(F.struct(F.col("d").alias("d"),
+                                F.col("j").alias("j"))).alias("mn"))
+            .select("vid", "m", F.col("mn.j").alias("code"))
+        )
+        means = (
+            assigned.join(sub, ["vid", "m"])
+            .select("m", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("xs"))
+            .select("m", "code", F.transform("xs", lambda x: x["mv"]).alias("cvec"))
+            .collect()
+        )
+        new = [list(sc) for sc in cb]
+        for r in means:
+            vec = [float(v) for v in r["cvec"]]
+            if len(vec) == PQ_SUBDIM:
+                new[r["m"]][r["code"]] = vec
+        cb = new
+    sub.unpersist()
+    return cb
+
+
+def pq_distortion(embeddings: DataFrame, codebooks,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """1-row (total) quantization distortion: sum over (vector,
+    subspace) of the squared-L2 distance to the nearest codeword — the
+    objective k-means minimizes, the gate metric for trained vs seeded
+    codebooks."""
+    spark = embeddings.sparkSession
+    cb = _pq_codebook_df(spark, codebooks)
+    subs = F.array(*[
+        F.struct(F.lit(i).alias("m"),
+                 F.slice(F.col(vec_col), i * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+        for i in range(len(codebooks))
+    ])
+    sub = embeddings.select(F.col(id_col).alias("vid"),
+                            F.explode(subs).alias("s")) \
+        .select("vid", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d", _l2sq(F.col("sv"), F.col("cvec")))
+        .groupBy("vid", "m").agg(F.min("d").alias("dmin"))
+        .agg(F.sum("dmin").alias("total"))
+    )

@@ -1101,7 +1101,9 @@ def _q_ann_pq_trained_invariants(spark, sf_dir):
             F.lit(1).cast("bigint").alias("baseline"),
         )
     )
-    pq_t = topk_pq(emb, qids, ANN_K, codebooks=trained)
+    # persisted: rank_viol and size_viol both read it (the IVF sibling
+    # does the same) — without this the trained encode+score runs twice
+    pq_t = topk_pq(emb, qids, ANN_K, codebooks=trained).persist()
     rank_viol = pq_t.filter(
         (F.col("rank") < 1) | (F.col("rank") > ANN_K)
     ).select(

@@ -126,7 +126,12 @@ def comention_pmi(mentions: DataFrame, doc_cols=("repo", "path"),
     ``comention_edges``, one per-entity doc-count aggregation joined
     back onto the pair list (no broadcast hint — the entity dimension
     is unbounded; AQE promotes it when small), and N as a 1-row
-    broadcast — no driver collect, no corpus-quadratic stage.
+    broadcast — no driver collect, no corpus-quadratic stage.  The
+    ``ents`` subtree appears several times in the plan; the references
+    are IDENTICAL subtrees, so Spark plans one Exchange and reuses it
+    (ReusedExchange — verified by kg_comention_pmi's wall matching
+    kg_comention's in bench); the plan-snapshot arrow_stages count is
+    a textual upper bound (plans/inspect.py docstring).
     """
     d = list(doc_cols)
     ents = mentions.select(*d, F.col(text_col).alias("e")).distinct()
@@ -250,7 +255,13 @@ def pagerank_personalized(edges: DataFrame, seeds: list[str],
     )
     n_seed = nodes.filter(F.col("node").isin(seeds)).count()
     if n_seed == 0:
-        out = nodes.select("node", F.lit(0.0).cast("double").alias("pr")).limit(0)
+        # no seed present: the teleport vector is all-zero, so every
+        # rank converges to 0.0 — emit exactly that (one row per node),
+        # matching the SQL mirror's CASE semantics instead of an empty
+        # frame (cross-engine parity if seeds ever miss a corpus)
+        out = nodes.select(
+            "node", F.lit(0.0).cast("double").alias("pr")
+        ).localCheckpoint(eager=True)
         e.unpersist()
         nodes.unpersist()
         return out

@@ -348,9 +348,10 @@ def pq_encode(embeddings: DataFrame, codebooks=None, id_col: str = "vec_id",
         codebooks = seeded_pq_codebooks()
     spark = embeddings.sparkSession
     cb = _pq_codebook_df(spark, codebooks)
+    subdim = len(codebooks[0][0])  # derive the stride from the codebook
     subs = F.array(*[
         F.struct(F.lit(m).alias("m"),
-                 F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+                 F.slice(F.col(vec_col), m * subdim + 1, subdim).alias("sv"))
         for m in range(len(codebooks))
     ])
     sub = embeddings.select(F.col(id_col), F.explode(subs).alias("s")) \
@@ -373,9 +374,10 @@ def _pq_query_table(embeddings: DataFrame, query_ids: list[int], codebooks,
     broadcast state ADC scoring needs."""
     spark = embeddings.sparkSession
     cb = _pq_codebook_df(spark, codebooks)
+    subdim = len(codebooks[0][0])
     qsubs = F.array(*[
         F.struct(F.lit(m).alias("m"),
-                 F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+                 F.slice(F.col(vec_col), m * subdim + 1, subdim).alias("sv"))
         for m in range(len(codebooks))
     ])
     return (
@@ -487,17 +489,20 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
     subvectors; empty codes keep their previous centroid.
     """
     spark = embeddings.sparkSession
+    first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    # subspace width follows the DATA and the requested m, not the
+    # module default — m=4 over 64 dims trains 4x16-dim codebooks
+    subdim = len(first[0][vec_col]) // m
     subs = F.array(*[
         F.struct(F.lit(i).alias("m"),
-                 F.slice(F.col(vec_col), i * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+                 F.slice(F.col(vec_col), i * subdim + 1, subdim).alias("sv"))
         for i in range(m)
     ])
     sub = embeddings.select(F.col(id_col).alias("vid"),
                             F.explode(subs).alias("s")) \
         .select("vid", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")) \
         .persist()
-    first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
-    cb = [[[float(v) for v in r[vec_col][i * PQ_SUBDIM:(i + 1) * PQ_SUBDIM]]
+    cb = [[[float(v) for v in r[vec_col][i * subdim:(i + 1) * subdim]]
            for r in first] for i in range(m)]
     for _ in range(iterations):
         cbdf = _pq_codebook_df(spark, cb)
@@ -522,7 +527,7 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
         new = [list(sc) for sc in cb]
         for r in means:
             vec = [float(v) for v in r["cvec"]]
-            if len(vec) == PQ_SUBDIM:
+            if len(vec) == subdim:
                 new[r["m"]][r["code"]] = vec
         cb = new
     sub.unpersist()
@@ -538,9 +543,10 @@ def pq_distortion(embeddings: DataFrame, codebooks,
     codebooks."""
     spark = embeddings.sparkSession
     cb = _pq_codebook_df(spark, codebooks)
+    subdim = len(codebooks[0][0])
     subs = F.array(*[
         F.struct(F.lit(i).alias("m"),
-                 F.slice(F.col(vec_col), i * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+                 F.slice(F.col(vec_col), i * subdim + 1, subdim).alias("sv"))
         for i in range(len(codebooks))
     ])
     sub = embeddings.select(F.col(id_col).alias("vid"),

@@ -1566,7 +1566,7 @@ def kg_pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
     iters = []
     for t in range(iterations):
         iters.append(f"""
-pr{t + 1} AS (
+pr{t + 1} AS MATERIALIZED (
     SELECT n.node,
            {one_minus_d} / nn.n
            + {d} * (COALESCE(c.s, 0) + dm.m / nn.n) AS pr
@@ -1585,7 +1585,7 @@ edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 ncount AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN ncount nn),
+pr0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN ncount nn),
 {",".join(iters)}
 SELECT node, round(pr, 6) AS pr FROM pr{iterations}
 """
@@ -1827,7 +1827,7 @@ e AS MATERIALIZED (
     SELECT DISTINCT a.e AS a, b.e AS b
     FROM ents a JOIN ents b ON a.repo = b.repo AND a.path = b.path AND a.e < b.e
 ),
-tri AS (
+tri AS MATERIALIZED (
     SELECT e1.a AS x, e1.b AS y, e2.b AS z
     FROM e e1
     JOIN e e2 ON e1.b = e2.a
@@ -1994,15 +1994,17 @@ def kg_ppr_sql(seeds: list[str], iterations: int = 5,
                damping: float = 0.85) -> str:
     """Personalized PageRank mirror: restart + dangling mass teleport
     to the seed distribution; same unrolled-CTE replay style as
-    kg_pagerank_sql, with the shared edge/teleport CTEs MATERIALIZED
-    (referenced once per round)."""
+    kg_pagerank_sql.  Every pr{t} is referenced TWICE by round t+1
+    (dangling subquery + contribution subquery), so each is
+    MATERIALIZED — the plain form inlines 2^iterations deep (the
+    k-core lesson, CLAUDE.md)."""
     one_minus_d = repr(1.0 - damping)
     d = repr(damping)
     seed_list = ", ".join(f"'{s}'" for s in seeds)
     iters = []
     for t in range(iterations):
         iters.append(f"""
-pr{t + 1} AS (
+pr{t + 1} AS MATERIALIZED (
     SELECT tl.node,
            {one_minus_d} * tl.sv
            + {d} * (COALESCE(c.s, 0) + dm.m * tl.sv) AS pr
@@ -2027,7 +2029,7 @@ tele AS MATERIALIZED (
     FROM nodes n CROSS JOIN seedn sn
 ),
 deg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
-pr0 AS (SELECT node, sv AS pr FROM tele),
+pr0 AS MATERIALIZED (SELECT node, sv AS pr FROM tele),
 {",".join(iters)}
 SELECT node, round(pr, 6) AS pr FROM pr{iterations}
 """

@@ -201,14 +201,24 @@ def dedup_stream(events: DataFrame, key_cols=("event_id",),
     event-time watermark and evicts the rest, so state size tracks the
     re-delivery horizon, not stream history — the property that keeps
     this viable at ingest-pipeline rates.  On a batch DataFrame the
-    same call degrades to plain dropDuplicates (first-by-key), so
-    batch == stream semantics when arrivals are in event-time order.
+    same call keeps the EARLIEST row per key (ties broken by the
+    remaining columns ascending — a total, deterministic order;
+    dropDuplicates would keep an arbitrary row and break batch/stream
+    parity on the non-key columns).
     """
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             list(key_cols)
         )
-    return events.dropDuplicates(list(key_cols))
+    others = [c for c in events.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.asc(c) for c in ["ts"] + [c for c in others if c != "ts"]]
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def stream_mentions(spark: SparkSession, docs_path: str, sink: list,

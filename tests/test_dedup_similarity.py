@@ -496,3 +496,26 @@ def test_pq_train_codebooks_matches_numpy_and_cuts_distortion(spark):
     dt = pq_distortion(df, [list(map(list, sub)) for sub in got]).first()["total"]
     ds = pq_distortion(df, seeded_pq_codebooks()).first()["total"]
     assert dt < ds
+
+
+def test_pq_train_codebooks_nondefault_m_covers_all_dims(spark):
+    """m=4 over 64 dims must train 4 subspaces of 16 dims (the review
+    found the stride was pinned to the module default)."""
+    from ner_funtool_spark.operators.similarity import pq_train_codebooks
+
+    rng = np.random.RandomState(17)
+    X = rng.randn(12, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_train_codebooks(df, m=4, k=3, iterations=1)
+    assert len(cb) == 4
+    assert all(len(sub) == 3 for sub in cb)
+    assert all(len(code) == 16 for sub in cb for code in sub)
+    # init slices must be the actual k lowest-id vectors' 16-dim slices
+    # evolved one mean step — spot-check dimensional coverage: the last
+    # subspace's codewords depend on dims 48..63
+    import numpy as np_
+    flat = np_.array(cb[3])
+    assert flat.shape == (3, 16)

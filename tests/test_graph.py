@@ -264,9 +264,11 @@ def test_ppr_matches_numpy(spark):
     assert got["a"] == max(got.values())
 
 
-def test_ppr_no_seed_in_graph_is_empty(spark):
+def test_ppr_no_seed_in_graph_is_all_zero(spark):
+    """No seed present -> every node at 0.0 (the SQL mirror's CASE
+    semantics), not an empty frame."""
     from ner_funtool_spark.operators.graph import pagerank_personalized
 
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
-    out = pagerank_personalized(df, ["zz"])
-    assert out.columns == ["node", "pr"] and out.count() == 0
+    got = {r["node"]: r["pr"] for r in pagerank_personalized(df, ["zz"]).collect()}
+    assert got == {"a": 0.0, "b": 0.0}

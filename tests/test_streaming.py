@@ -314,3 +314,32 @@ def test_dedup_stream_suppresses_redeliveries(spark, tmp_path):
     ids = [r["event_id"] for r in got]
     assert sorted(ids) == list(range(60))  # every key exactly once
     assert len(ids) == len(set(ids))
+
+
+def test_stream_degrees_ivm_equals_batch(spark, tmp_path):
+    """Incrementally-maintained degree view (per-batch deltas merged
+    additively) must equal the batch degrees of the full corpus."""
+    import os
+
+    from ner_funtool_spark.plans.kg import build_triples, documents_as_source
+    from ner_funtool_spark.streaming.stream import stream_degrees_ivm
+
+    # three micro-batch files from the sf0.001 documents
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = tmp_path / "ivmsrc"
+    src.mkdir()
+    for i in range(3):
+        (docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+    store = str(tmp_path / "degstore")
+    n = stream_degrees_ivm(spark, f"{src}/*", store)
+    assert n == 3
+    got = {r["node"]: r["deg"] for r in spark.read.parquet(store).collect()}
+    t = build_triples(documents_as_source(docs), domain="doc", mode="rules")
+    want = {
+        r["node"]: r["deg"]
+        for r in t.select(F.col("subj").alias("node"))
+        .union(t.select(F.col("obj").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg")).collect()
+    }
+    assert got == want

@@ -979,6 +979,24 @@ def _q_sales_cube(spark, sf_dir):
 TWO_HOP_MID_CAP = 20  # middle-node out-degree cap (hub containment)
 
 
+def _q_kg_pred_cooccurrence(spark, sf_dir):
+    """(pred1, pred2, n_subjects): predicates co-occurring on the same
+    subject — the schema-profiling self-join the bucketed store serves
+    Exchange-free (sources/store.py); here gated on the plain layout so
+    the query itself is value-hash-checked."""
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = build_triples(src, domain="doc", mode="rules") \
+        .select("subj", "pred").distinct()
+    a = t.select("subj", F.col("pred").alias("pred1"))
+    b = t.select("subj", F.col("pred").alias("pred2"))
+    return (
+        a.join(b, "subj")
+        .filter(F.col("pred1") < F.col("pred2"))
+        .groupBy("pred1", "pred2")
+        .agg(F.count("*").cast("bigint").alias("n_subjects"))
+    )
+
+
 def _q_kg_two_hop(spark, sf_dir):
     """2-hop reachability (repo -CONTAINS-> file -MENTIONS_*-> entity)
     aggregated over middle nodes, with hub middles capped at out-degree
@@ -1243,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
         "ann_pq_trained_invariants": _q_ann_pq_trained_invariants,
+        "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
     }
 
 
@@ -1341,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
             _ivf_nprobe(),
         ),
         "ann_pq_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
+        "kg_pred_cooccurrence": oracles.kg_pred_cooccurrence_sql(),
         # kg_mentions_neural / kg_mentions_cascade: intentionally no
         # oracle — seeded-model decode is not SQL-expressible; the
         # driver records the weaker rows-only check and pytest pins the

@@ -2112,3 +2112,15 @@ ranked AS (
 SELECT query_id, neighbor_id, adist, rank::INT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def kg_pred_cooccurrence_sql() -> str:
+    """Predicate co-occurrence per subject (the bucketed store's
+    co-located self-join shape, gated on the plain layout)."""
+    return f"""
+WITH {_triples_pred_cte()},
+dt AS MATERIALIZED (SELECT DISTINCT subj, pred FROM triples)
+SELECT a.pred AS pred1, b.pred AS pred2, count(*)::BIGINT AS n_subjects
+FROM dt a JOIN dt b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY a.pred, b.pred
+"""

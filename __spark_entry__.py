@@ -108,6 +108,29 @@ def _q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.confusion_matrix(_pairs(spark, sf_dir))
 
 
+def _q_tag_metrics_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf_metrics parity (micro average + Fβ): pairs built WITHOUT the
+    remove_O drop — micro masks the confusion matrix instead
+    (tf_metrics.py:145-165), so O-gold false positives count."""
+    pairs = doc_tag_pairs(
+        _docs(spark, sf_dir),
+        pred_op=DOC_OP_WORDS_ALT, pred_obj=DOC_OBJ_WORDS_ALT,
+        remove_o=False,
+    )
+    return M.tag_metrics_micro(pairs)
+
+
+def _q_tag_metrics_tf_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf_metrics average='macro' parity (unweighted mean over positive
+    classes, full confusion-matrix universe)."""
+    pairs = doc_tag_pairs(
+        _docs(spark, sf_dir),
+        pred_op=DOC_OP_WORDS_ALT, pred_obj=DOC_OBJ_WORDS_ALT,
+        remove_o=False,
+    )
+    return M.tag_metrics_tf_macro(pairs)
+
+
 def _q_entity_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["repo", "path", "sent_id", "mbegin", "mend", "text", "etype"]
     return M.entity_prf(
@@ -855,6 +878,142 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(_triples_edges(spark, sf_dir))
 
 
+def _q_events_time_pruned(spark, sf_dir):
+    """Windowed event aggregation served from the range-partitioned
+    layout (sources/layout.py): the [min+1, min+3) day window reaches
+    the scan as PartitionFilters, so only the covering date directories
+    are read (pruning evidence asserted in tests/test_layout.py and
+    recorded in BENCH/BASELINE.md); the oracle computes the same window
+    from the raw events view."""
+    import datetime as _dt
+    import re as _re
+
+    from ner_funtool_spark.sources.layout import (
+        events_in_window,
+        write_events_range_partitioned,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/nfs_events_bydate{tag}"
+    write_events_range_partitioned(ev, path)
+    mn = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    w = events_in_window(spark, path, mn + _dt.timedelta(days=1),
+                         mn + _dt.timedelta(days=3))
+    return w.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
+def _q_kg_entity_temporal(spark, sf_dir):
+    """Entity-level temporal validity (SCD2 over canonical-id
+    assignments + as-of-style interval binding): canonicalize the
+    epoch-1 half corpus (even doc_ids) and the epoch-2 full corpus,
+    maintain the entity dimension as an SCD2 history
+    (operators/upsert.scd2_upsert, key = surface form, compared on
+    canonical_id), then join every mention to the entity version valid
+    at its observation epoch.  At scale this is the standard temporal
+    dimension join: the history is entity-keyed (small vs the mention
+    fact table) and per-entity interval lists are tiny, so the bind is
+    an equi-join plus an interval filter — no range-join blowup."""
+    from ner_funtool_spark.operators.components import canonicalize
+    from ner_funtool_spark.operators.linking import candidate_pairs
+    from ner_funtool_spark.operators.upsert import scd2_upsert
+
+    def canon_map(docs):
+        src = documents_as_source(docs)
+        m = detect_mentions(src, domain="doc", mode="rules")
+        ents = m.select("text", "etype").distinct().persist()
+        edges = candidate_pairs(ents).select("src", "dst")
+        nodes = ents.select(F.col("text").alias("node")).distinct()
+        out = canonicalize(nodes, edges).localCheckpoint(eager=True)
+        ents.unpersist()
+        return out
+
+    docs = _docs(spark, sf_dir)
+    v1 = canon_map(docs.filter(F.col("doc_id") % 2 == 0))
+    v2 = canon_map(docs)
+    hist0 = v1.select(
+        "node", "canonical_id",
+        F.lit("v1").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    hist = scd2_upsert(hist0, v2, key_cols=("node",),
+                       compare_cols=("canonical_id",), version="v2")
+    m = _crf_mentions_std(spark, sf_dir)
+    mm = m.withColumn(
+        "obs_version",
+        F.when(
+            F.regexp_extract("path", r"docs/(\d+)\.txt", 1).cast("bigint")
+            % 2 == 0,
+            F.lit("v1"),
+        ).otherwise(F.lit("v2")),
+    )
+    h = hist.withColumnRenamed("node", "text")
+    return (
+        mm.join(h, "text")
+        .filter(
+            (F.col("valid_from") <= F.col("obs_version"))
+            & (F.col("valid_to").isNull()
+               | (F.col("obs_version") < F.col("valid_to")))
+        )
+        .select("repo", "path", "sent_id", "mbegin", "mend", "text",
+                "etype", "obs_version", "canonical_id", "valid_from")
+    )
+
+
+def _q_kg_pagerank_inc_invariants(spark, sf_dir):
+    """Incremental (warm-start) PageRank invariants — the IVM rank-
+    maintenance path (streaming/stream.stream_pagerank_ivm).  Two
+    guaranteed-by-contraction properties, as violations vs a typed
+    empty oracle:
+
+    * ANY-START CONVERGENCE: re-converging the full graph warm-started
+      from the half-edge-graph fixed point lands on the cold start's
+      (unique) fixed point — both vectors within tol*d/(1-d) of the
+      true fixed point, gate 1e-6 per node;
+    * DELTA-SCALED COST: with an UNCHANGED graph, re-converging from
+      the previous (full-precision) fixed point takes <= 2 rounds —
+      and strictly fewer than the cold start.  This is the measurable
+      IVM payoff; note a LARGE delta can legitimately take more rounds
+      than cold (slow-mode error — operators/graph.pagerank_converged
+      docstring), so no rounds claim is made for the half-graph warm
+      start."""
+    from ner_funtool_spark.operators.graph import pagerank_converged
+
+    edges = _triples_edges(spark, sf_dir)
+    tol, d = 1e-9, 0.5  # d=0.5: ~2x fewer rounds; invariants are d-free
+    half = edges.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(2)) == 0)
+    r_half, _ = pagerank_converged(half, tol=tol, damping=d)
+    warm, _ = pagerank_converged(edges, tol=tol, damping=d,
+                                 init_ranks=r_half)
+    cold, cold_rounds = pagerank_converged(edges, tol=tol, damping=d)
+    _, nodelta_rounds = pagerank_converged(edges, tol=tol, damping=d,
+                                           init_ranks=cold)
+    j = warm.select("node", F.col("pr").alias("pr_w")).join(
+        cold.select("node", F.col("pr").alias("pr_c")), "node", "full_outer"
+    )
+    rank_viol = j.filter(
+        F.col("pr_w").isNull() | F.col("pr_c").isNull()
+        | (F.abs(F.col("pr_w") - F.col("pr_c")) > 1e-6)
+    ).select(
+        F.lit("warm_equals_cold_rank").alias("invariant"),
+        F.coalesce(F.col("pr_w"), F.lit(-1.0)).alias("value"),
+        F.coalesce(F.col("pr_c"), F.lit(-1.0)).alias("baseline"),
+    )
+    rounds_viol = (
+        spark.range(1)
+        .filter(F.lit(not (nodelta_rounds <= 2 < cold_rounds)))
+        .select(
+            F.lit("nodelta_rounds_le_2_lt_cold").alias("invariant"),
+            F.lit(float(nodelta_rounds)).alias("value"),
+            F.lit(float(cold_rounds)).alias("baseline"),
+        )
+    )
+    return rank_viol.unionByName(rounds_viol)
+
+
 def _q_kg_canonical_triples(spark, sf_dir):
     """The FULL north_star dataflow as one oracle-checked query:
     mentions -> blocked linking -> connected-components canonical ids
@@ -1009,6 +1168,36 @@ def _q_kg_two_hop(spark, sf_dir):
     return two_hop(t, max_mid_degree=TWO_HOP_MID_CAP)
 
 
+def _q_kg_two_hop_store(spark, sf_dir):
+    """kg_two_hop served from the dual SPO/OPS bucketed store
+    (sources/store.py): both 2-hop join inputs read the index bucketed
+    on their join key, so the m-keyed join and the hub-cap filter plan
+    with no Exchange (asserted in tests/test_store.py).  Same oracle as
+    kg_two_hop — the layout must not change a single row."""
+    import re as _re
+
+    from ner_funtool_spark.sources.store import (
+        two_hop_from_store,
+        write_triples_bucketed,
+        write_triples_bucketed_by_obj,
+    )
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    t = (
+        build_triples(src, domain="doc", mode="rules")
+        .select("subj", "pred", "obj").distinct()
+    )
+    tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    spo, ops = f"twohop_spo{tag}", f"twohop_ops{tag}"
+    base = f"/tmp/nfs_twohop_store{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {spo}")
+    spark.sql(f"DROP TABLE IF EXISTS {ops}")
+    write_triples_bucketed(t, spo, f"{base}/spo")
+    write_triples_bucketed_by_obj(t, ops, f"{base}/ops")
+    return two_hop_from_store(spark, spo, ops,
+                              max_mid_degree=TWO_HOP_MID_CAP)
+
+
 def _q_kg_comention_pmi(spark, sf_dir):
     """PMI-scored entity association over co-mention pairs (integer
     threshold n_ab >= 2; ln rounded to 6 decimals on both engines)."""
@@ -1138,10 +1327,65 @@ def _q_ann_pq_trained_invariants(spark, sf_dir):
             F.lit(ANN_K).cast("bigint").alias("baseline"),
         )
     )
-    return (
+    out = (
         distortion_viol.unionByName(shape_viol)
         .unionByName(rank_viol).unionByName(size_viol)
     )
+    # eagerly materialize the union, then release the cached trained
+    # top-k — persist hygiene as in triangle_counts/pagerank (without
+    # this the cached partitions leak for the rest of the session)
+    out = out.localCheckpoint(eager=True)
+    pq_t.unpersist()
+    return out
+
+
+def _q_ann_opq_invariants(spark, sf_dir):
+    """OPQ gate (operators/similarity.opq_train): the learned
+    orthogonal rotation + warm-started codebooks must not lose to the
+    plain trained-PQ baseline they descend from.
+
+    * distortion(R·x, opq codebooks) <= distortion(x, plain trained
+      codebooks) + 1e-6 — the alternation is monotone by construction
+      (Procrustes is the exact R-step minimizer, Lloyd warm-starts);
+      the 1e-6 absolute slack only absorbs float-summation noise,
+      orders below any real regression;
+    * R is orthogonal: max |R·Rᵀ - I| < 1e-8 (driver-side 64x64 check);
+    * codebook shape is (PQ_M, PQ_K, PQ_SUBDIM).
+    Violations vs a typed empty oracle."""
+    import numpy as _np
+
+    from ner_funtool_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        opq_train,
+        pq_distortion,
+        pq_train_codebooks,
+        rotate_embeddings,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    plain_cb = pq_train_codebooks(emb, iterations=2)
+    d_plain = float(pq_distortion(emb, plain_cb).first()["total"])
+    rot, opq_cb = opq_train(emb, iterations=2, pq_iterations=2)
+    rotated = rotate_embeddings(emb, rot)
+    d_opq = float(pq_distortion(rotated, opq_cb).first()["total"])
+    r = _np.array(rot)
+    ortho_err = float(_np.abs(r @ r.T - _np.eye(len(r))).max())
+    ok_shape = (
+        len(opq_cb) == PQ_M
+        and all(len(sub) == PQ_K for sub in opq_cb)
+        and all(len(code) == PQ_SUBDIM for sub in opq_cb for code in sub)
+    )
+    checks = [
+        ("opq_distortion_le_plain", d_opq, d_plain,
+         d_opq > d_plain + 1e-6),
+        ("rotation_orthogonal", ortho_err, 1e-8, ortho_err >= 1e-8),
+        ("codebook_shape", 1.0 if ok_shape else 0.0, 1.0, not ok_shape),
+    ]
+    rows = [(inv, float(v), float(b)) for inv, v, b, bad in checks if bad]
+    schema = "invariant string, value double, baseline double"
+    return spark.createDataFrame(rows, schema)
 
 
 def _q_kg_communities(spark, sf_dir):
@@ -1191,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_metrics": _q_tag_metrics,
         "tag_metrics_avg": _q_tag_metrics_avg,
         "confusion_matrix": _q_confusion_matrix,
+        "tag_metrics_micro": _q_tag_metrics_micro,
+        "tag_metrics_tf_macro": _q_tag_metrics_tf_macro,
         "entity_prf": _q_entity_prf,
         "label_f1": _q_label_f1,
         "label_f1_macro": _q_label_f1_macro,
@@ -1251,6 +1497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_keyed": _q_asof_join_keyed,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_two_hop_store": _q_kg_two_hop_store,
+        "kg_pagerank_inc_invariants": _q_kg_pagerank_inc_invariants,
+        "kg_entity_temporal": _q_kg_entity_temporal,
+        "events_time_pruned": _q_events_time_pruned,
+        "ann_opq_invariants": _q_ann_opq_invariants,
         "kg_comention_pmi": _q_kg_comention_pmi,
         "kg_triangles": _q_kg_triangles,
         "kg_skew_report": _q_kg_skew_report,
@@ -1274,6 +1525,8 @@ def oracle_sql() -> dict[str, str]:
         "tag_metrics": oracles.tag_metrics_sql(),
         "tag_metrics_avg": oracles.tag_metrics_avg_sql(),
         "confusion_matrix": oracles.confusion_matrix_sql(),
+        "tag_metrics_micro": oracles.tag_metrics_micro_sql(),
+        "tag_metrics_tf_macro": oracles.tag_metrics_tf_macro_sql(),
         "entity_prf": oracles.entity_prf_sql(),
         "label_f1": oracles.label_f1_sql(),
         "label_f1_macro": oracles.label_f1_macro_sql(),
@@ -1345,6 +1598,11 @@ def oracle_sql() -> dict[str, str]:
         "triples_degrees_salted": oracles.triples_degrees_salted_sql(),
         "ann_ivf_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
         "kg_two_hop": oracles.kg_two_hop_sql(TWO_HOP_MID_CAP),
+        "kg_two_hop_store": oracles.kg_two_hop_sql(TWO_HOP_MID_CAP),
+        "kg_pagerank_inc_invariants": oracles.pagerank_inc_invariants_sql(),
+        "kg_entity_temporal": oracles.kg_entity_temporal_sql(),
+        "events_time_pruned": oracles.events_time_pruned_sql(),
+        "ann_opq_invariants": oracles.double_invariants_sql(),
         "kg_comention_pmi": oracles.kg_comention_pmi_sql(min_pair_docs=2),
         "kg_triangles": oracles.kg_triangles_sql(),
         "kg_skew_report": oracles.kg_skew_report_sql(top_k=20),

@@ -387,6 +387,113 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 5,
     return out
 
 
+def pagerank_converged(edges: DataFrame, src_col: str = "src",
+                       dst_col: str = "dst", tol: float = 1e-9,
+                       max_iterations: int = 60,
+                       damping: float = DAMPING,
+                       init_ranks: DataFrame | None = None):
+    """PageRank iterated to an L1 fixed-point tolerance, optionally
+    WARM-STARTED from a previous rank vector — the incremental-
+    maintenance primitive: after an edge-batch arrives, re-converging
+    from the previous ranks reaches the (unique) fixed point in far
+    fewer rounds than a cold start.
+
+    The update pr_{t+1} = (1-d)/N + d*(M·pr_t + dm_t/N) is an L1
+    contraction with factor d for ANY starting vector, so no
+    renormalization of the warm start is needed — nodes missing from
+    ``init_ranks`` (new this batch) start at 1/N and the iteration
+    pulls everything to the same fixed point the cold start reaches.
+    Returns ``(ranks, n_rounds)``: (node, pr) at FULL double precision
+    (round at the reporting edge only — a 6-decimal store would
+    re-inflate a warm start's error to ~n_nodes*5e-7 L1 and forfeit
+    the saving), and the number of rounds actually run.
+
+    Honest scaling note (measured, tests/test_streaming.py): warm
+    rounds track the DELTA'S distance to the new fixed point, not the
+    graph size — an unchanged graph re-converges in <= 2 rounds, a
+    small edge delta in a handful, while a graph grown by a third can
+    take MORE rounds than a uniform cold start (the uniform vector
+    excites only fast-decaying modes; a stale fixed point holds error
+    in the slow modes, which decay at the worst-case rate d).  IVM
+    wins exactly in the micro-batch regime it exists for: small deltas
+    on a large accumulated graph.
+
+    Per round: the same join+agg shape as ``pagerank`` plus ONE
+    node-keyed join/agg for the L1 delta — all distributed, the driver
+    sees a single float per round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        out = nodes.select("node", F.lit(0.0).cast("double").alias("pr"))
+        e.unpersist()
+        nodes.unpersist()
+        return out, 0
+    out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    if init_ranks is None:
+        ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    else:
+        ranks = (
+            nodes.join(
+                init_ranks.select("node", F.col("pr").alias("pr0")),
+                "node", "left",
+            )
+            .select("node",
+                    F.coalesce(F.col("pr0"), F.lit(1.0 / n)).alias("pr"))
+        )
+    ranks = ranks.localCheckpoint(eager=False)
+    rounds = 0
+    for _ in range(max_iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "node"),
+                       "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") / n)
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        delta = (
+            new_ranks.join(
+                ranks.select("node", F.col("pr").alias("pr_old")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    out = ranks.select("node", "pr").localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out, rounds
+
+
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              iterations: int = PR_ITERATIONS,
              damping: float = DAMPING) -> DataFrame:

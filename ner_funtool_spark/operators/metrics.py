@@ -105,6 +105,110 @@ def tag_metrics_unrounded(pairs: DataFrame) -> DataFrame:
     )
 
 
+def tag_metrics_micro(pairs: DataFrame, pos_tags=None,
+                      betas=(0.5, 1.0, 2.0)) -> DataFrame:
+    """Micro-averaged P/R/Fβ over the positive classes — the reference's
+    headline training-eval metric (public_tools/tf_metrics.py:15-134,
+    default ``average='micro'``; called at run_bert_crf.py:628-630 with
+    pos_indices = every label except O/[CLS]/[SEP]).
+
+    Micro semantics from the confusion matrix (tf_metrics.py:145-165):
+      tp     = Σ diag over positive classes
+      pred_n = Σ columns of positive classes (ALL gold rows, incl. O)
+      gold_n = Σ rows of positive classes (ALL pred cols, incl. O)
+    so ``pairs`` must be built with remove_o=False — micro MASKS the
+    matrix, it does not drop O-gold positions (a prediction of a
+    positive tag on an O-gold token is a false positive here, which the
+    remove_O path would silently discard).
+
+    Fβ = (1+β²)·p·r / (β²·p + r), zero-guarded like tf_metrics.safe_div
+    (tf_metrics.py:97-134 exports the β parameter; f1 is fbeta(β=1)).
+    One row per β: (beta, tp, gold_n, pred_n, precision, recall, fbeta).
+    ONE distributed aggregation; the per-β fan-out is over a 1-row frame.
+    """
+    if pos_tags is None:
+        gold_pos = ~F.col("gold").isin("O", "[CLS]", "[SEP]")
+        pred_pos = ~F.col("pred").isin("O", "[CLS]", "[SEP]")
+    else:
+        gold_pos = F.col("gold").isin(*[F.lit(t) for t in pos_tags])
+        pred_pos = F.col("pred").isin(*[F.lit(t) for t in pos_tags])
+    one = F.lit(1).cast("bigint")
+    counts = pairs.agg(
+        F.sum(F.when(gold_pos & (F.col("gold") == F.col("pred")), one)
+              .otherwise(F.lit(0))).cast("bigint").alias("tp"),
+        F.sum(F.when(gold_pos, one).otherwise(F.lit(0)))
+        .cast("bigint").alias("gold_n"),
+        F.sum(F.when(pred_pos, one).otherwise(F.lit(0)))
+        .cast("bigint").alias("pred_n"),
+    )
+    p = F.when(F.col("pred_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("pred_n"))
+    r = F.when(F.col("gold_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("gold_n"))
+    betas_df = counts.sparkSession.createDataFrame(
+        [(float(b),) for b in betas], "beta double"
+    )
+    b2 = F.col("beta") * F.col("beta")
+    denom = b2 * p + r
+    fbeta = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (1 + b2) * p * r / denom)
+    return counts.crossJoin(F.broadcast(betas_df)).select(
+        F.round("beta", 6).alias("beta"),
+        "tp", "gold_n", "pred_n",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(fbeta, 6).alias("fbeta"),
+    )
+
+
+def tag_metrics_tf_macro(pairs: DataFrame, pos_tags=None,
+                         beta: float = 1.0) -> DataFrame:
+    """Macro-averaged P/R/Fβ over the positive classes
+    (tf_metrics.py:168-215, ``average='macro'``): per-class metrics
+    from the FULL confusion matrix (each class's pred_n counts O-gold
+    rows too — unlike tag_metrics' remove_O universe), then an
+    UNWEIGHTED mean over pos classes.  ``pairs`` must be built with
+    remove_o=False, exactly as tag_metrics_micro.  One row:
+    (n_classes, precision, recall, fbeta)."""
+    if pos_tags is None:
+        gold_pos = ~F.col("gold").isin("O", "[CLS]", "[SEP]")
+        pred_pos = ~F.col("pred").isin("O", "[CLS]", "[SEP]")
+    else:
+        gold_pos = F.col("gold").isin(*[F.lit(t) for t in pos_tags])
+        pred_pos = F.col("pred").isin(*[F.lit(t) for t in pos_tags])
+    classes = pairs.filter(gold_pos).select(F.col("gold").alias("tag")) \
+        .union(pairs.filter(pred_pos).select(F.col("pred").alias("tag"))) \
+        .distinct()
+    tp = (
+        pairs.filter((F.col("gold") == F.col("pred")) & gold_pos)
+        .groupBy(F.col("gold").alias("tag")).agg(F.count("*").alias("tp"))
+    )
+    pred_n = pairs.groupBy(F.col("pred").alias("tag")).agg(
+        F.count("*").alias("pred_n"))
+    gold_n = pairs.groupBy(F.col("gold").alias("tag")).agg(
+        F.count("*").alias("gold_n"))
+    m = (
+        classes.join(tp, "tag", "left")
+        .join(pred_n, "tag", "left")
+        .join(gold_n, "tag", "left")
+        .fillna(0, subset=["tp", "pred_n", "gold_n"])
+    )
+    p = F.when(F.col("pred_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("pred_n"))
+    r = F.when(F.col("gold_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("gold_n"))
+    b2 = beta * beta
+    denom = F.lit(b2) * p + r
+    fb = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (1 + b2) * p * r / denom)
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.round(F.avg(p), 6).alias("precision"),
+        F.round(F.avg(r), 6).alias("recall"),
+        F.round(F.avg(fb), 6).alias("fbeta"),
+    )
+
+
 def confusion_matrix(pairs: DataFrame) -> DataFrame:
     """(gold, pred, n) long-format confusion counts; pred tags that never
     occur as gold are skipped (tag_evaluating.py:200-201)."""

@@ -475,7 +475,8 @@ def topk_ivf_pq(embeddings: DataFrame, query_ids: list[int], k: int,
 
 def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
                        iterations: int = 5, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> list[list[list[float]]]:
+                       vec_col: str = "embedding",
+                       init_codebooks=None) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-means on squared L2 — the trainer behind
     topk_pq for real corpora (seeded_pq_codebooks is the oracle-able
     stand-in, exactly the kmeans_centroids/seeded_centroids split).
@@ -486,7 +487,9 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
     one element-wise mean per (m, code, pos).  Only the M*K*SUBDIM
     codebook (1k floats) ever reaches the driver — broadcast state,
     not data.  Deterministic: init from the k lowest-id vectors'
-    subvectors; empty codes keep their previous centroid.
+    subvectors, or ``init_codebooks`` when warm-starting (the OPQ
+    alternation needs Lloyd to DESCEND from the current solution, not
+    restart); empty codes keep their previous centroid.
     """
     spark = embeddings.sparkSession
     first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -502,8 +505,12 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
                             F.explode(subs).alias("s")) \
         .select("vid", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")) \
         .persist()
-    cb = [[[float(v) for v in r[vec_col][i * subdim:(i + 1) * subdim]]
-           for r in first] for i in range(m)]
+    if init_codebooks is not None:
+        cb = [[list(map(float, code)) for code in sub]
+              for sub in init_codebooks]
+    else:
+        cb = [[[float(v) for v in r[vec_col][i * subdim:(i + 1) * subdim]]
+               for r in first] for i in range(m)]
     for _ in range(iterations):
         cbdf = _pq_codebook_df(spark, cb)
         assigned = (
@@ -558,3 +565,102 @@ def pq_distortion(embeddings: DataFrame, codebooks,
         .groupBy("vid", "m").agg(F.min("d").alias("dmin"))
         .agg(F.sum("dmin").alias("total"))
     )
+
+
+def _rotation_df(spark, rotation):
+    """(i, j, r): row-major entries of the DxD rotation — broadcast
+    dimension state, like the codebook table."""
+    return spark.createDataFrame(
+        [(i, j, float(rotation[i][j]))
+         for i in range(len(rotation)) for j in range(len(rotation[i]))],
+        "i int, j int, r double",
+    )
+
+
+def rotate_embeddings(embeddings: DataFrame, rotation,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """x -> R·x as pure relational algebra: unnest the vector, join the
+    broadcast rotation entries on the input index, sum per output
+    index, reassemble ordered.  O(n·D²) work — the standard OPQ
+    rotation cost — with only the D² rotation as broadcast state; a
+    BLAS pandas_udf is the drop-in when D grows, same contract."""
+    spark = embeddings.sparkSession
+    rdf = _rotation_df(spark, rotation)
+    flat = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("j", "v")
+    )
+    return (
+        flat.join(F.broadcast(rdf), "j")
+        .groupBy(id_col, "i")
+        .agg(F.sum(F.col("v") * F.col("r")).alias("rv"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "rv"))).alias("xs"))
+        .select(id_col,
+                F.transform("xs", lambda x: x["rv"]).alias(vec_col))
+    )
+
+
+def opq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
+              iterations: int = 2, pq_iterations: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """OPQ-style training: an orthogonal rotation R ahead of the PQ
+    split, alternately optimized with the codebooks (OPQ's
+    non-parametric alternation: fix codes -> R by orthogonal
+    Procrustes; fix R -> codebooks by warm-started Lloyd).
+
+    Descent is MONOTONE from the plain-PQ solution: R starts at
+    identity with the plain trained codebooks, the Procrustes step is
+    the exact minimizer of ||R·x - reconstruction||² over orthogonal R
+    for fixed assignments, and the warm-started Lloyd step never
+    increases the objective — so trained-OPQ distortion <= trained-PQ
+    distortion by construction (the driver invariants gate).
+
+    Distributed shape: the Procrustes sufficient statistic
+    M = Σ_i y_i·x_iᵀ is one relational join+agg (only the D² matrix
+    reaches the driver for a 64x64 SVD); everything else reuses the PQ
+    trainer's passes.  Returns (rotation, codebooks).
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[vec_col])
+    subdim = dim // m
+    rot = np.eye(dim)
+    emb = embeddings.select(id_col, vec_col).persist()
+    cb = pq_train_codebooks(emb, m=m, k=k, iterations=pq_iterations,
+                            id_col=id_col, vec_col=vec_col)
+    for _ in range(iterations):
+        rotated = rotate_embeddings(
+            emb, rot.tolist(), id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        # reconstruction of each rotated vector from its codes
+        enc = pq_encode(rotated, cb, id_col=id_col, vec_col=vec_col)
+        cbdf = _pq_codebook_df(spark, cb)
+        recon = (
+            enc.join(F.broadcast(cbdf).withColumnRenamed("m", "cm"),
+                     (enc["m"] == F.col("cm")) & (enc["code"] == F.col("j")))
+            .select(id_col, "m", "cvec")
+            .select(id_col, "m", F.posexplode("cvec").alias("pos", "y"))
+            .select(id_col, (F.col("m") * subdim + F.col("pos")).alias("p"),
+                    "y")
+        )
+        x_flat = emb.select(id_col, F.posexplode(vec_col).alias("q", "x"))
+        mat = (
+            recon.join(x_flat, id_col)
+            .groupBy("p", "q")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("s"))
+            .collect()
+        )
+        M = np.zeros((dim, dim))
+        for r in mat:
+            M[r["p"], r["q"]] = r["s"]
+        u, _, vt = np.linalg.svd(M)
+        rot = u @ vt
+        rotated = rotate_embeddings(
+            emb, rot.tolist(), id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        cb = pq_train_codebooks(rotated, m=m, k=k,
+                                iterations=pq_iterations,
+                                id_col=id_col, vec_col=vec_col,
+                                init_codebooks=cb)
+    emb.unpersist()
+    return rot.tolist(), cb

@@ -105,15 +105,20 @@ def wordpiece_encode(df: DataFrame, vocab: dict[str, int],
 
 
 def corpus_vocab(documents: DataFrame, text_col: str = "text",
-                 min_freq: int = 10) -> dict[str, int]:
+                 min_freq: int = 10, max_vocab: int = 30_000) -> dict[str, int]:
     """Deterministic WordPiece vocab from the corpus itself: specials,
     single-char pieces (full coverage fallback: every rare word splits
-    to chars instead of [UNK]), then whole tokens with frequency >=
-    min_freq ordered by (freq desc, token).
+    to chars instead of [UNK]), then the top ``max_vocab`` whole tokens
+    with frequency >= min_freq ordered by (freq desc, token).
 
-    The frequent-token aggregate is collected to the driver — it is a
-    bounded dimension (like the reference's vocab file,
-    bert/tokenization.py:136-141), broadcast back by wordpiece_encode.
+    The collect is STRUCTURALLY bounded: ``min_freq`` alone does not
+    cap the set on a large corpus (tens of millions of tokens can clear
+    any fixed frequency floor at 100 TB), so the total order is
+    limited to ``max_vocab`` rows BEFORE reaching the driver — a top-N
+    cap is semantics-faithful because the reference's vocab is a fixed
+    finite file (bert/tokenization.py:121-133, 21128 entries), and the
+    (freq desc, token) order is total so the cut is deterministic.
+    The bounded dimension is then broadcast back by wordpiece_encode.
     """
     chars = "abcdefghijklmnopqrstuvwxyz0123456789_"
     pieces = [PAD, UNK, CLS, SEP]
@@ -123,6 +128,7 @@ def corpus_vocab(documents: DataFrame, text_col: str = "text",
         .groupBy("tok").count()
         .filter(F.col("count") >= min_freq)
         .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(max_vocab)
     )
     for r in freq.collect():
         if r["tok"] and r["tok"] not in (PAD, UNK, CLS, SEP):

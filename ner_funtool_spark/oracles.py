@@ -32,19 +32,22 @@ def _inlist(words) -> str:
 
 
 def doc_mentions_cte(max_len: int = MAX_LEN,
-                     op_words=DOC_OP_WORDS, obj_words=DOC_OBJ_WORDS) -> str:
+                     op_words=DOC_OP_WORDS, obj_words=DOC_OBJ_WORDS,
+                     doc_where: str = "") -> str:
     """CTE chain: documents -> (repo, path, sent_id, mbegin, mend, text, etype).
 
     Mirrors segment_lines (one line per doc: no newlines in the corpus)
     + tokenize_batch truncation + doc_token_classes + the constrained
     Viterbi/maximal-run span assembly + char-offset mention extraction.
+    ``doc_where`` optionally restricts the document set (e.g. the
+    temporal-versioning oracle's epoch-1 half-corpus).
     """
     return f"""
 toks AS (
     SELECT doc_id, source, text AS doc_text,
            generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
     FROM (SELECT *, list_slice(string_split(text, ' '), 1, {max_len}) AS l
-          FROM documents)
+          FROM documents {doc_where})
 ),
 classed AS (
     SELECT *,
@@ -158,6 +161,68 @@ SELECT round(sum(p * gold_n) / sum(gold_n), 6) AS precision,
        round(sum(r * gold_n) / sum(gold_n), 6) AS recall,
        round(sum((2 * p * r / (p + r + 1e-10)) * gold_n) / sum(gold_n), 6) AS f1,
        sum(gold_n)::BIGINT AS support
+FROM per
+"""
+
+
+def tag_metrics_micro_sql() -> str:
+    """Micro-averaged P/R/Fβ over positive classes (tf_metrics.py
+    parity): totals masked from the FULL pair set (remove_o=False),
+    Fβ zero-guarded like safe_div.  One row per β."""
+    return f"""
+WITH {_pairs_cte(remove_o=False)},
+counts AS (
+  SELECT sum(CASE WHEN gold <> 'O' AND gold = pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN gold <> 'O' THEN 1 ELSE 0 END)::BIGINT AS gold_n,
+         sum(CASE WHEN pred <> 'O' THEN 1 ELSE 0 END)::BIGINT AS pred_n
+  FROM pr
+),
+pr2 AS (
+  SELECT *,
+         CASE WHEN pred_n = 0 THEN 0.0 ELSE tp / pred_n END AS p,
+         CASE WHEN gold_n = 0 THEN 0.0 ELSE tp / gold_n END AS r
+  FROM counts
+)
+SELECT round(beta, 6) AS beta, tp, gold_n, pred_n,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN beta * beta * p + r = 0 THEN 0.0
+                  ELSE (1 + beta * beta) * p * r / (beta * beta * p + r)
+             END, 6) AS fbeta
+FROM pr2 CROSS JOIN (VALUES (0.5), (1.0), (2.0)) AS b(beta)
+"""
+
+
+def tag_metrics_tf_macro_sql(beta: float = 1.0) -> str:
+    """tf_metrics average='macro' mirror: per-class P/R/Fβ from the
+    full pair set (remove_o=False), unweighted mean over positive
+    classes."""
+    b2 = beta * beta
+    return f"""
+WITH {_pairs_cte(remove_o=False)},
+classes AS (
+  SELECT DISTINCT tag FROM (
+    SELECT gold AS tag FROM pr WHERE gold <> 'O'
+    UNION ALL SELECT pred FROM pr WHERE pred <> 'O')
+),
+tp AS (SELECT gold AS tag, count(*) AS tp FROM pr
+       WHERE gold = pred AND gold <> 'O' GROUP BY 1),
+pn AS (SELECT pred AS tag, count(*) AS pred_n FROM pr GROUP BY 1),
+gn AS (SELECT gold AS tag, count(*) AS gold_n FROM pr GROUP BY 1),
+per AS (
+  SELECT c.tag,
+         CASE WHEN COALESCE(pn.pred_n, 0) = 0 THEN 0.0
+              ELSE COALESCE(tp.tp, 0) / pn.pred_n END AS p,
+         CASE WHEN COALESCE(gn.gold_n, 0) = 0 THEN 0.0
+              ELSE COALESCE(tp.tp, 0) / gn.gold_n END AS r
+  FROM classes c LEFT JOIN tp ON c.tag = tp.tag
+  LEFT JOIN pn ON c.tag = pn.tag LEFT JOIN gn ON c.tag = gn.tag
+)
+SELECT count(*)::BIGINT AS n_classes,
+       round(avg(p), 6) AS precision,
+       round(avg(r), 6) AS recall,
+       round(avg(CASE WHEN {b2} * p + r = 0 THEN 0.0
+                      ELSE (1 + {b2}) * p * r / ({b2} * p + r) END), 6)
+           AS fbeta
 FROM per
 """
 
@@ -1230,6 +1295,95 @@ SELECT CAST(NULL AS VARCHAR) AS invariant,
        CAST(NULL AS BIGINT) AS baseline
 WHERE 1 = 0
 """
+
+
+def _canon_subquery(doc_where: str = "") -> str:
+    """Nested WITH RECURSIVE computing (node, canonical_id) over the
+    link graph of the (optionally restricted) document set — the same
+    min-label fixed point canonicalize_sql exposes, usable twice in one
+    statement (epoch-1 half corpus vs epoch-2 full corpus)."""
+    return f"""(
+  WITH RECURSIVE {doc_mentions_cte(doc_where=doc_where)},
+  {_link_edges_cte()},
+  nodes AS (SELECT DISTINCT text AS n FROM ents),
+  reach(node, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT CASE WHEN r.node = e.src THEN e.dst ELSE e.src END, r.lbl
+      FROM reach r JOIN link_edges e ON r.node IN (e.src, e.dst)
+  )
+  SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node
+)"""
+
+
+def kg_entity_temporal_sql() -> str:
+    """Entity-level temporal validity: SCD2 history of canonical-id
+    assignments (epoch v1 = even-doc_id half corpus, epoch v2 = full
+    corpus) joined to mentions at their observation epoch
+    (valid_from <= obs < valid_to, NULL = open) — every mention binds
+    to the entity version that was current when it was observed."""
+    return f"""
+WITH canon1 AS {_canon_subquery("WHERE doc_id % 2 = 0")},
+canon2 AS {_canon_subquery()},
+hist AS (
+  SELECT c1.node, c1.canonical_id, 'v1' AS valid_from, 'v2' AS valid_to
+  FROM canon1 c1 JOIN canon2 c2 USING (node)
+  WHERE c1.canonical_id <> c2.canonical_id
+  UNION ALL
+  SELECT c1.node, c1.canonical_id, 'v1', NULL
+  FROM canon1 c1 JOIN canon2 c2 USING (node)
+  WHERE c1.canonical_id = c2.canonical_id
+  UNION ALL
+  SELECT c2.node, c2.canonical_id, 'v2', NULL
+  FROM canon2 c2 LEFT JOIN canon1 c1 USING (node)
+  WHERE c1.node IS NULL OR c1.canonical_id <> c2.canonical_id
+),
+m AS (WITH {doc_mentions_cte()} SELECT * FROM mention_rows),
+mm AS (
+  SELECT *,
+         CASE WHEN CAST(regexp_extract(path, 'docs/(\\d+)\\.txt', 1) AS BIGINT)
+                   % 2 = 0
+              THEN 'v1' ELSE 'v2' END AS obs_version
+  FROM m
+)
+SELECT mm.repo, mm.path, mm.sent_id, mm.mbegin, mm.mend, mm.text,
+       mm.etype, mm.obs_version, h.canonical_id, h.valid_from
+FROM mm JOIN hist h ON mm.text = h.node
+WHERE h.valid_from <= mm.obs_version
+  AND (h.valid_to IS NULL OR mm.obs_version < h.valid_to)
+"""
+
+
+def events_time_pruned_sql() -> str:
+    """Per-type counts over the [min_date+1, min_date+3) event window —
+    the window the Spark side serves via partition pruning."""
+    return """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn FROM events)
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total
+FROM events, b
+WHERE CAST(ts AS DATE) >= mn + 1 AND CAST(ts AS DATE) < mn + 3
+GROUP BY event_type
+"""
+
+
+def double_invariants_sql() -> str:
+    """Typed empty oracle for invariants queries with double-valued
+    evidence columns (iterative trainers/convergence loops are not
+    SQL-expressible; the gate is violations == empty set)."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS invariant,
+       CAST(NULL AS DOUBLE) AS value,
+       CAST(NULL AS DOUBLE) AS baseline
+WHERE 1 = 0
+"""
+
+
+def pagerank_inc_invariants_sql() -> str:
+    """Typed empty oracle for the warm-start PageRank invariants query
+    (the convergence loop itself is iterative, not SQL-expressible;
+    the batch pagerank semantics are already oracle-checked by
+    kg_pagerank's unrolled CTEs)."""
+    return double_invariants_sql()
 
 
 def dedup_keep_docs_sql(threshold: float) -> str:

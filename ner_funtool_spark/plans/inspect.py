@@ -39,6 +39,37 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-tree line = length of its drawing prefix
+    (spaces, ':', '+', '-', '|'); children print strictly deeper."""
+    return len(re.match(r"^[\s:+\-|]*", line).group(0))
+
+
+def join_subtree_exchanges(df: DataFrame) -> int:
+    """Number of Exchange nodes WITHIN the subtree of the first
+    shuffle join (SortMergeJoin/ShuffledHashJoin) in the executed plan,
+    bounded by tree indentation — not by text position, so an Exchange
+    printed elsewhere in the plan (above the join, or in another
+    branch after it) can neither hide a real shuffle nor fail the
+    assertion spuriously.  Returns -1 when the plan has no shuffle
+    join (e.g. it broadcast instead)."""
+    lines = plan_string(df).splitlines()
+    exch = re.compile(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+    )
+    for i, ln in enumerate(lines):
+        if re.search(r"SortMergeJoin|ShuffledHashJoin", ln):
+            depth = _tree_depth(ln)
+            n = 0
+            for sub in lines[i + 1:]:
+                if sub.strip() and _tree_depth(sub) <= depth:
+                    break
+                if exch.search(sub):
+                    n += 1
+            return n
+    return -1
+
+
 def plan_summary(df: DataFrame) -> dict:
     """Scale-relevant shape counts of the physical plan."""
     plan = plan_string(df)

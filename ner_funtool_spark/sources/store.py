@@ -53,6 +53,63 @@ def write_triples_bucketed(triples: DataFrame, table: str, path: str,
     )
 
 
+def write_triples_bucketed_by_obj(triples: DataFrame, table: str, path: str,
+                                  n_buckets: int = N_BUCKETS) -> None:
+    """The OPS companion index: the same triples bucketed+sorted on
+    ``obj``.  Dual SPO/OPS layouts are the relational analog of an RDF
+    store's index orderings — queries that join subj-to-obj (two-hop
+    paths) read each side from the index bucketed on ITS join key, so
+    the join itself plans with no Exchange on either input."""
+    (
+        triples.repartition(n_buckets, "obj")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "obj")
+        .sortBy("obj")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def two_hop_from_store(spark: SparkSession, spo_table: str, ops_table: str,
+                       max_mid_degree: int | None = None) -> DataFrame:
+    """operators/graph.two_hop served from the dual bucketed store:
+    (a, pred1, pred2, c, n_paths) with the same hub cap contract.
+
+    PRECONDITION: both tables hold the same KEY-UNIQUE triple set
+    (write the ``.select(subj,pred,obj).distinct()`` projection) with
+    the SAME bucket count — the operator's own distinct would re-add
+    the shuffle the layout exists to avoid.
+
+    Plan shape: hop-1 edges come from the OPS index (bucketed on obj =
+    the middle node), hop-2 edges and the hub-degree filter from the
+    SPO index (bucketed on subj = the middle node).  Every m-keyed
+    operation — the degree aggregation, the cap semi-join, the 2-hop
+    join itself — is satisfied by the bucket distributions, so the
+    only Exchange in the plan is the final (a, pred1, pred2, c)
+    aggregation of the (much smaller) aggregated output.  At 100 TB
+    the removed shuffle is 2x the store per query; the bucketing cost
+    was paid once at write."""
+    e1 = spark.table(ops_table).select(
+        F.col("subj").alias("a"), F.col("pred").alias("pred1"),
+        F.col("obj").alias("m"),
+    )
+    e2 = spark.table(spo_table).select(
+        F.col("subj").alias("m"), F.col("pred").alias("pred2"),
+        F.col("obj").alias("c"),
+    )
+    if max_mid_degree is not None:
+        mid_deg = e2.groupBy("m").agg(F.count("*").alias("md"))
+        e2 = e2.join(
+            mid_deg.filter(F.col("md") <= max_mid_degree).select("m"), "m"
+        )
+    return (
+        e1.join(e2, "m")
+        .groupBy("a", "pred1", "pred2", "c")
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+    )
+
+
 def subj_degrees_from_store(spark: SparkSession, table: str) -> DataFrame:
     """Out-degree per subject read from the bucketed store: the scan's
     bucket distribution satisfies the aggregation's requirement, so the

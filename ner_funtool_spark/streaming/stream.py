@@ -250,19 +250,24 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
                                         "n_chars bigint") -> int:
     """Incremental KG maintenance under Structured Streaming: every
     micro-batch of documents re-runs the triple pipeline for ITS docs
-    and MERGEs the result into the parquet store with upsert_triples —
-    the streaming shape of the north_star's resumable maintenance loop.
+    and MERGEs the result into the versioned snapshot store with
+    upsert_triples — the streaming shape of the north_star's resumable
+    maintenance loop.
 
-    The store rewrite here is whole-table (a parquet stand-in); with an
+    Each batch reads the latest committed snapshot BELOW its own epoch
+    and writes the merged view to ``store/v{epoch}`` as a fully
+    distributed job (snapshot.write_snapshot) — nothing round-trips the
+    driver, so per-batch driver cost is O(1) regardless of store size.
+    The _SUCCESS marker commits the version atomically; an at-least-once
+    replay of an epoch re-merges against the same predecessor and
+    rewrites the same version, so the loop is idempotent.  With an
     Iceberg/Delta store the same ``upsert_triples`` plan compiles to a
     partial MERGE (only matched buckets rewrite, operators/triples.py
-    salting).  Each batch's version is its epoch id, so replays of the
-    same epoch are idempotent (latest_per_key takes the max version,
-    and re-merging identical rows is a no-op).  Returns the number of
-    micro-batches processed.
+    salting).  Returns the number of micro-batches processed.
     """
     from ..operators.upsert import upsert_triples
     from ..plans.kg import build_triples, documents_as_source
+    from .snapshot import read_snapshot, write_snapshot
 
     cols = ["subj", "pred", "obj", "repo", "content_sha"]
     n_batches = [0]
@@ -280,16 +285,9 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
             .select(*cols).distinct()
             .withColumn("commit", F.format_string("e%05d", F.lit(epoch_id)))
         )
-        try:
-            existing = spark.read.parquet(store_path)
-            merged = upsert_triples(existing, inc)
-        except Exception:  # first batch: no store yet
-            merged = inc
-        # materialize before overwrite (the store is also the input)
-        pdf = merged.toPandas()
-        spark.createDataFrame(pdf, schema=merged.schema).write.mode(
-            "overwrite"
-        ).parquet(store_path)
+        existing = read_snapshot(spark, store_path, below=epoch_id)
+        merged = upsert_triples(existing, inc) if existing is not None else inc
+        write_snapshot(merged, store_path, epoch_id)
         n_batches[0] += 1
 
     q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
@@ -310,12 +308,20 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
 
     This is the maintenance pattern that matters at 100 TB: the batch
     recompute scans the whole triples table per refresh, while the IVM
-    loop's per-batch cost is O(batch) + a merge keyed only on the
-    touched nodes.  Counts are additive, so the final store equals the
-    batch-computed degrees exactly (asserted e2e in tests).  Returns
-    the number of micro-batches processed.
+    loop reads only the previous snapshot and the batch's delta, and
+    its merge shuffles only on the degree key.  The merged view is
+    written to ``store/v{epoch}`` as a distributed job (no driver
+    materialization); a replayed epoch re-merges against the same
+    predecessor snapshot (``below=epoch_id``), so additive counts are
+    never double-applied.  A read failure on an EXISTING committed
+    snapshot propagates and fails the batch — it is never treated as
+    "first batch" (that would silently discard the accumulated view).
+    Counts are additive, so the final store equals the batch-computed
+    degrees exactly (asserted e2e in tests).  Returns the number of
+    micro-batches processed.
     """
     from ..plans.kg import build_triples, documents_as_source
+    from .snapshot import read_snapshot, write_snapshot
 
     n_batches = [0]
     stream = (
@@ -332,20 +338,76 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
             .union(t.select(F.col("obj").alias("node")))
             .groupBy("node").agg(F.count("*").alias("deg"))
         )
-        try:
-            existing = spark.read.parquet(store_path)
+        existing = read_snapshot(spark, store_path, below=epoch_id)
+        if existing is not None:
             merged = (
                 existing.unionByName(delta)
                 .groupBy("node").agg(F.sum("deg").cast("bigint").alias("deg"))
             )
-        except Exception:  # first batch: no store yet
-            merged = delta.select("node", F.col("deg").cast("bigint").alias("deg"))
-        pdf = merged.toPandas()
-        spark.createDataFrame(pdf, schema=merged.schema).write.mode(
-            "overwrite"
-        ).parquet(store_path)
+        else:  # genuinely no committed snapshot yet
+            merged = delta.select(
+                "node", F.col("deg").cast("bigint").alias("deg")
+            )
+        write_snapshot(merged, store_path, epoch_id)
         n_batches[0] += 1
 
     q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
     q.awaitTermination()
     return n_batches[0]
+
+
+def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
+                        edges_store: str, ranks_store: str,
+                        tol: float = 1e-9, damping: float = 0.85,
+                        schema: str = "doc_id bigint, text string, "
+                                      "lang string, source string, "
+                                      "n_chars bigint") -> list:
+    """Incremental PageRank maintenance under Structured Streaming —
+    the IVM pattern extended from additive degree counts to a
+    fixed-point computation.
+
+    Per micro-batch: (1) the batch's triples contribute DELTA edges,
+    merged (distinct union) into the versioned edge snapshot store;
+    (2) PageRank re-converges over the merged edge set WARM-STARTED
+    from the previous rank snapshot (pagerank_converged: the update is
+    an L1 contraction, so the warm start reaches the same unique fixed
+    point in far fewer rounds than a cold start — that round saving is
+    the IVM win, returned per batch); (3) both stores advance via
+    distributed snapshot writes (no driver materialization; replays
+    re-read the predecessor via below=epoch).
+
+    Returns [(epoch, n_rounds), ...] — the e2e test asserts the final
+    ranks equal the batch computation AND that warm-started batches
+    converge in fewer rounds than the batch cold start.
+    """
+    from ..operators.graph import pagerank_converged
+    from ..plans.kg import build_triples, documents_as_source
+    from .snapshot import read_snapshot, write_snapshot
+
+    rounds_log: list = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        t = build_triples(documents_as_source(batch_df),
+                          domain="doc", mode="rules")
+        delta = t.select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")).distinct()
+        prev_e = read_snapshot(spark, edges_store, below=epoch_id)
+        edges = prev_e.unionByName(delta).distinct() if prev_e is not None \
+            else delta
+        write_snapshot(edges, edges_store, epoch_id)
+        prev_r = read_snapshot(spark, ranks_store, below=epoch_id)
+        ranks, n_rounds = pagerank_converged(
+            read_snapshot(spark, edges_store, below=epoch_id + 1),
+            tol=tol, damping=damping, init_ranks=prev_r,
+        )
+        write_snapshot(ranks, ranks_store, epoch_id)
+        rounds_log.append((epoch_id, n_rounds))
+
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return rounds_log

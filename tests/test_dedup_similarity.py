@@ -519,3 +519,30 @@ def test_pq_train_codebooks_nondefault_m_covers_all_dims(spark):
     import numpy as np_
     flat = np_.array(cb[3])
     assert flat.shape == (3, 16)
+
+
+def test_opq_rotation_reduces_distortion_and_is_orthogonal(spark):
+    """OPQ alternation (Procrustes R-step + warm-started Lloyd) must
+    descend from the plain trained-PQ solution and keep R orthogonal."""
+    import numpy as np
+
+    from ner_funtool_spark.operators.similarity import (
+        opq_train,
+        pq_distortion,
+        pq_train_codebooks,
+        rotate_embeddings,
+    )
+
+    rng = np.random.RandomState(11)
+    # anisotropic data (correlated dims): rotation has signal to learn
+    base = rng.randn(60, 4) @ rng.randn(4, 16)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    plain = pq_train_codebooks(emb, m=4, k=4, iterations=2)
+    d_plain = pq_distortion(emb, plain).first()["total"]
+    rot, cb = opq_train(emb, m=4, k=4, iterations=2, pq_iterations=2)
+    d_opq = pq_distortion(rotate_embeddings(emb, rot), cb).first()["total"]
+    assert d_opq <= d_plain + 1e-6
+    r = np.array(rot)
+    assert np.abs(r @ r.T - np.eye(16)).max() < 1e-8

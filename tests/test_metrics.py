@@ -122,3 +122,47 @@ def test_label_f1_matches_reference_shape(spark):
     assert got["org"]["tp"] == 1 and got["org"]["fp"] == 1 and got["org"]["fn"] == 0
     assert got["loc"]["tp"] == 0 and got["loc"]["fp"] == 1 and got["loc"]["fn"] == 1
     assert got["per"]["tp"] == 0 and got["per"]["fn"] == 1
+
+
+def test_tag_metrics_micro_replays_tf_metrics(spark):
+    """Micro P/R/Fβ vs a literal numpy replay of the reference's
+    pr_re_fbeta over the masked confusion matrix
+    (public_tools/tf_metrics.py:145-215, average='micro')."""
+    import numpy as np
+
+    tags = ["O", "op", "obj"]
+    idx = {t: i for i, t in enumerate(tags)}
+    rows = [
+        ("O", "O"), ("O", "op"), ("O", "obj"),       # O-gold FPs count!
+        ("op", "op"), ("op", "op"), ("op", "obj"), ("op", "O"),
+        ("obj", "obj"), ("obj", "op"),
+    ]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+
+    cm = np.zeros((3, 3))
+    for g, p in rows:
+        cm[idx[g], idx[p]] += 1
+    pos = [idx["op"], idx["obj"]]
+    tp = sum(cm[i, i] for i in pos)
+    tot_pred = cm[:, pos].sum()
+    tot_gold = cm[pos, :].sum()
+    p = tp / tot_pred
+    r = tp / tot_gold
+
+    got = {row["beta"]: row for row in M.tag_metrics_micro(df).collect()}
+    assert set(got) == {0.5, 1.0, 2.0}
+    for beta, row in got.items():
+        assert (row["tp"], row["gold_n"], row["pred_n"]) == (
+            int(tp), int(tot_gold), int(tot_pred))
+        assert abs(row["precision"] - round(p, 6)) < 1e-9
+        assert abs(row["recall"] - round(r, 6)) < 1e-9
+        want_f = (1 + beta**2) * p * r / (beta**2 * p + r)
+        assert abs(row["fbeta"] - round(want_f, 6)) < 1e-9
+
+
+def test_tag_metrics_micro_zero_guards(spark):
+    """safe_div parity: empty positive sets yield 0.0, not NULL/error."""
+    df = spark.createDataFrame([("O", "O")], "gold string, pred string")
+    for row in M.tag_metrics_micro(df).collect():
+        assert (row["precision"], row["recall"], row["fbeta"]) == (0.0, 0.0, 0.0)
+        assert (row["tp"], row["gold_n"], row["pred_n"]) == (0, 0, 0)

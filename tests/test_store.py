@@ -67,10 +67,14 @@ def test_self_join_from_store_is_colocated(store):
         co = pred_cooccurrence_from_store(spark, TABLE)
         plan = _physical(co)
         # the only Exchange allowed is the final tiny (pred1, pred2)
-        # aggregation; the join inputs themselves must be co-located
-        join_part = plan.split("SortMergeJoin")[-1]
+        # aggregation; the join inputs themselves must be co-located —
+        # asserted on the indentation-bounded join SUBTREE, not on text
+        # position (an Exchange printed after the join in another
+        # branch must not flip the check)
+        from ner_funtool_spark.plans.inspect import join_subtree_exchanges
+
         assert "SortMergeJoin" in plan, plan[:2000]
-        assert "Exchange hashpartitioning" not in join_part, join_part[:2000]
+        assert join_subtree_exchanges(co) == 0, plan[:2000]
         rows = {(r["pred1"], r["pred2"]): r["n_subjects"] for r in co.collect()}
         # oracle-free cross-check against the in-memory frame
         t = triples.select("subj", "pred").distinct()
@@ -102,3 +106,52 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 20000
     assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+
+def test_two_hop_from_store_is_colocated_and_exact(store):
+    """Dual SPO/OPS bucketed indexes: the 2-hop join (and the hub-cap
+    degree filter) plan with ZERO Exchange in the join subtree, and
+    the result equals operators/graph.two_hop on the same triples."""
+    from ner_funtool_spark.operators.graph import two_hop
+    from ner_funtool_spark.plans.inspect import join_subtree_exchanges
+    from ner_funtool_spark.sources.store import (
+        two_hop_from_store,
+        write_triples_bucketed_by_obj,
+    )
+
+    spark, triples = store
+    ops_table = TABLE + "_ops"
+    spark.sql(f"DROP TABLE IF EXISTS {ops_table}")
+    t = triples.select("subj", "pred", "obj").distinct()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # the SPO fixture table kept full columns; rebuild both indexes
+        # key-unique (the two_hop_from_store precondition)
+        spo_table = TABLE + "_spo2"
+        spark.sql(f"DROP TABLE IF EXISTS {spo_table}")
+        from ner_funtool_spark.sources.store import write_triples_bucketed
+
+        write_triples_bucketed(t, spo_table, f"{tmp}/spo", n_buckets=8)
+        write_triples_bucketed_by_obj(t, ops_table, f"{tmp}/ops", n_buckets=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got_df = two_hop_from_store(
+                spark, spo_table, ops_table, max_mid_degree=3
+            )
+            assert join_subtree_exchanges(got_df) == 0, \
+                got_df._jdf.queryExecution().executedPlan().toString()[:3000]
+            got = {
+                (r["a"], r["pred1"], r["pred2"], r["c"]): r["n_paths"]
+                for r in got_df.collect()
+            }
+            want = {
+                (r["a"], r["pred1"], r["pred2"], r["c"]): r["n_paths"]
+                for r in two_hop(triples, max_mid_degree=3).collect()
+            }
+            assert got == want and len(want) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql(f"DROP TABLE IF EXISTS {spo_table}")
+            spark.sql(f"DROP TABLE IF EXISTS {ops_table}")

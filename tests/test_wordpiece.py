@@ -137,3 +137,22 @@ def test_corpus_vocab_covers_and_orders(spark):
     assert "##z" in v and "q" in v  # char fallback pieces
     got = wordpiece("qqq", v)  # rare word -> char pieces, never [UNK]
     assert got == ["q", "##q", "##q"]
+
+
+def test_corpus_vocab_top_n_cap_is_deterministic(spark):
+    """max_vocab structurally bounds the driver collect: the cap keeps
+    the most-frequent tokens (ties by token asc) and drops the tail."""
+    from ner_funtool_spark.operators.wordpiece_stage import corpus_vocab
+
+    rows = [(i, "hot " * 9 + "warm " * 4 + f"cold{i}") for i in range(6)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    capped = corpus_vocab(docs, min_freq=1, max_vocab=2)
+    # the two corpus slots go to hot (54) then warm (24); cold* cut
+    assert "hot" in capped and "warm" in capped
+    assert not any(k.startswith("cold") for k in capped)
+    full = corpus_vocab(docs, min_freq=1, max_vocab=30_000)
+    assert any(k.startswith("cold") for k in full)
+    # specials + char fallback never count against the cap
+    assert "[UNK]" in capped and "##z" in capped

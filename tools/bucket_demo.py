@@ -35,10 +35,13 @@ def main() -> int:
     from ner_funtool_spark.plans.kg import build_triples
     from ner_funtool_spark.session import get_spark
     from ner_funtool_spark.sources.code_table import stage_source_parquet
+    from ner_funtool_spark.operators.graph import two_hop
     from ner_funtool_spark.sources.store import (
         pred_cooccurrence_from_store,
         subj_degrees_from_store,
+        two_hop_from_store,
         write_triples_bucketed,
+        write_triples_bucketed_by_obj,
     )
 
     shutil.rmtree(WORK, ignore_errors=True)
@@ -86,14 +89,39 @@ def main() -> int:
     )
     co_bkt = pred_cooccurrence_from_store(spark, table)
 
-    def plan(df) -> str:
-        return df._jdf.queryExecution().executedPlan().toString()
+    # dual-index two-hop: the OPS companion table makes BOTH join
+    # inputs bucket-aligned on the middle node (sources/store.py)
+    ops_table = table + "_ops"
+    spark.sql(f"DROP TABLE IF EXISTS {ops_table}")
+    tkey = triples.select("subj", "pred", "obj").distinct()
+    spo2_table = table + "_spo_key"
+    spark.sql(f"DROP TABLE IF EXISTS {spo2_table}")
+    t0 = time.time()
+    write_triples_bucketed(tkey, spo2_table, f"{WORK}/spo_key",
+                           n_buckets=n_buckets)
+    write_triples_bucketed_by_obj(tkey, ops_table, f"{WORK}/ops",
+                                  n_buckets=n_buckets)
+    dual_write = time.time() - t0
+    MID_CAP = 20
+    hop_plain = two_hop(plain, max_mid_degree=MID_CAP)
+    hop_bkt = two_hop_from_store(spark, spo2_table, ops_table,
+                                 max_mid_degree=MID_CAP)
 
-    assert "Exchange" not in plan(deg_bkt), "bucketed agg must not shuffle"
-    assert "Exchange hashpartitioning" not in plan(co_bkt).split(
-        "SortMergeJoin"
-    )[-1], "bucketed self-join inputs must be co-located"
-    assert "Exchange" in plan(deg_plain)  # the shuffle being saved
+    from ner_funtool_spark.plans.inspect import (
+        join_subtree_exchanges,
+        plan_string,
+    )
+
+    assert "Exchange" not in plan_string(deg_bkt), \
+        "bucketed agg must not shuffle"
+    # indentation-bounded subtree count (not text splitting): zero
+    # Exchange nodes under the join = both inputs co-located
+    assert join_subtree_exchanges(co_bkt) == 0, \
+        "bucketed self-join inputs must be co-located"
+    assert "Exchange" in plan_string(deg_plain)  # the shuffle being saved
+    assert join_subtree_exchanges(co_plain) > 0  # and on the join path
+    assert join_subtree_exchanges(hop_bkt) == 0, \
+        "dual-index two-hop join must be co-located"
 
     result = {
         "n_files": n_files,
@@ -105,6 +133,9 @@ def main() -> int:
         "agg_bucketed_sec": timed(lambda: deg_bkt.count()),
         "selfjoin_plain_sec": timed(lambda: co_plain.count()),
         "selfjoin_bucketed_sec": timed(lambda: co_bkt.count()),
+        "twohop_plain_sec": timed(lambda: hop_plain.count()),
+        "twohop_dual_index_sec": timed(lambda: hop_bkt.count()),
+        "write_dual_index_sec": round(dual_write, 3),
         "bucketed_agg_exchanges": 0,
         "reps": reps,
     }
@@ -113,6 +144,9 @@ def main() -> int:
     assert sorted(map(tuple, co_plain.collect())) == sorted(
         map(tuple, co_bkt.collect())
     )
+    assert hop_plain.count() == hop_bkt.count()
+    spark.sql(f"DROP TABLE IF EXISTS {spo2_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {ops_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)

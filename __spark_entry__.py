@@ -697,7 +697,9 @@ def _q_wordpiece_invariants(spark, sf_dir):
     return out
 
 
-def _wordpiece_feats_arrays(spark, sf_dir, word_suffix: str = ""):
+def _wordpiece_feats_arrays(spark, sf_dir, word_suffix: str = "",
+                            double_words: bool = False,
+                            subword_vocab: bool = False):
     """Reference flagship encode path (run_bert_crf.py:340-433) as a
     Spark stage: corpus-derived WordPiece vocab (broadcast), greedy
     subword split memoized per unique word, first-piece label
@@ -708,6 +710,7 @@ def _wordpiece_feats_arrays(spark, sf_dir, word_suffix: str = ""):
     from ner_funtool_spark.operators.wordpiece_stage import (
         build_label_map,
         corpus_vocab,
+        corpus_vocab_with_subwords,
         wordpiece_encode,
     )
 
@@ -718,10 +721,18 @@ def _wordpiece_feats_arrays(spark, sf_dir, word_suffix: str = ""):
     # only in pytest fixtures.  The vocab ALWAYS derives from the
     # original corpus; a non-empty word_suffix transforms the encoded
     # words so every word needs a real multi-char greedy prefix split
-    # (e.g. "joinx" -> join ##x).
-    vocab = corpus_vocab(d, min_freq=500)
+    # (e.g. "joinx" -> join ##x); double_words + subword_vocab instead
+    # doubles each word against a vocab holding '##token' continuation
+    # pieces, so the greedy match consumes MULTI-CHAR continuations
+    # ("joinjoin" -> join ##join).
+    if subword_vocab:
+        vocab = corpus_vocab_with_subwords(d, min_freq=500)
+    else:
+        vocab = corpus_vocab(d, min_freq=500)
     label_map = build_label_map(["op", "obj"])
     words = F.split(F.col("text"), " ")
+    if double_words:
+        words = F.transform(words, lambda w: F.concat(w, w))
     if word_suffix:
         words = F.transform(words, lambda w: F.concat(w, F.lit(word_suffix)))
     labels = F.transform(
@@ -737,7 +748,9 @@ def _wordpiece_feats_arrays(spark, sf_dir, word_suffix: str = ""):
     return feats.select("doc_id", "tokens", "input_ids", "input_mask", "label_ids")
 
 
-def _q_wordpiece_features(spark, sf_dir, word_suffix: str = ""):
+def _q_wordpiece_features(spark, sf_dir, word_suffix: str = "",
+                          double_words: bool = False,
+                          subword_vocab: bool = False):
     """WordPiece features exploded to one scalar row per (doc, pos):
     (doc_id, pos, token, input_id, input_mask, label_id).  Scalar
     columns canonicalize in the driver's pandas sort (the r2 array form
@@ -745,7 +758,9 @@ def _q_wordpiece_features(spark, sf_dir, word_suffix: str = ""):
     truncation, [CLS]/[SEP] wrap, first-piece label alignment, padding
     — is value-hash-checked against a full DuckDB oracle
     (oracles.wordpiece_features_sql)."""
-    feats = _wordpiece_feats_arrays(spark, sf_dir, word_suffix)
+    feats = _wordpiece_feats_arrays(spark, sf_dir, word_suffix,
+                                    double_words=double_words,
+                                    subword_vocab=subword_vocab)
     p1 = F.col("pos") + 1
     return feats.select(
         "doc_id",
@@ -760,6 +775,18 @@ def _q_wordpiece_features(spark, sf_dir, word_suffix: str = ""):
         F.element_at("input_mask", p1).cast("int").alias("input_mask"),
         F.element_at("label_ids", p1).cast("int").alias("label_id"),
     )
+
+
+def _q_wordpiece_features_multipiece(spark, sf_dir):
+    """The general greedy-longest-match gate: every word DOUBLED
+    ("joinjoin") against a vocab holding multi-char '##token'
+    continuation pieces (corpus_vocab_with_subwords), so frequent
+    words split as [w, ##w] — continuations consume many characters at
+    once.  The oracle replays the greedy loop as a recursive CTE
+    (state machine over (rest, pieces)) instead of the single-char
+    closed form the base oracle uses."""
+    return _q_wordpiece_features(spark, sf_dir, double_words=True,
+                                 subword_vocab=True)
 
 
 def _q_wordpiece_features_subword(spark, sf_dir):
@@ -1251,6 +1278,28 @@ def _q_ann_topk_pq(spark, sf_dir):
     return topk_pq(_embeddings(spark, sf_dir), list(range(ANN_QUERY_MAX)), ANN_K)
 
 
+def _q_ann_topk_opq(spark, sf_dir):
+    """OPQ-shaped ANN, fully value-hashed: seeded orthogonal rotation
+    (rounded literals, sequential-fold dot products bit-matching the
+    oracle's list_sum) ahead of the PQ/ADC pipeline — the serving path
+    opq_train's trained (R, codebooks) drop into."""
+    from ner_funtool_spark.operators.similarity import topk_opq
+
+    return topk_opq(_embeddings(spark, sf_dir),
+                    list(range(ANN_QUERY_MAX)), ANN_K)
+
+
+def _q_ann_topk_ivf_opq(spark, sf_dir):
+    """The fully-composed ANN (rotation -> IVF lists -> PQ/ADC) with
+    every stage's seeded state shared with the oracle — rotation
+    literals, centroid literals, codebook literals — so the entire
+    three-stage composition is value-hash-checked end to end."""
+    from ner_funtool_spark.operators.similarity import topk_ivf_opq
+
+    return topk_ivf_opq(_embeddings(spark, sf_dir),
+                        list(range(ANN_QUERY_MAX)), ANN_K)
+
+
 def _q_ann_topk_ivf_pq(spark, sf_dir):
     """Composed IVF+PQ: candidates bounded by the probed IVF lists,
     scored through 8 PQ code bytes — the full 100 TB ANN shape, every
@@ -1475,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_neural_invariants": _q_kg_mentions_neural_invariants,
         "kg_mentions_cascade_invariants": _q_kg_mentions_cascade_invariants,
         "wordpiece_features": _q_wordpiece_features,
+        "wordpiece_features_multipiece": _q_wordpiece_features_multipiece,
         "wordpiece_invariants": _q_wordpiece_invariants,
         "wordpiece_features_subword": _q_wordpiece_features_subword,
         "kg_comention": _q_kg_comention,
@@ -1509,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile_invariants": _q_sketch_profile,
         "kg_kcore": _q_kg_kcore,
         "ann_topk_pq": _q_ann_topk_pq,
+        "ann_topk_opq": _q_ann_topk_opq,
+        "ann_topk_ivf_opq": _q_ann_topk_ivf_opq,
         "kg_ppr": _q_kg_ppr,
         "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
         "ann_pq_trained_invariants": _q_ann_pq_trained_invariants,
@@ -1573,6 +1625,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_cascade_invariants": oracles.neural_invariants_sql(),
         "wordpiece_invariants": oracles.wordpiece_invariants_sql(),
         "wordpiece_features": oracles.wordpiece_features_sql(min_freq=500),
+        "wordpiece_features_multipiece":
+            oracles.wordpiece_features_multipiece_sql(min_freq=500),
         "wordpiece_features_subword": oracles.wordpiece_features_sql(
             min_freq=500, word_suffix="x"
         ),
@@ -1612,6 +1666,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq": oracles.ann_topk_pq_sql(
             ANN_QUERY_MAX, ANN_K, _pq_codebooks()
         ),
+        "ann_topk_opq": oracles.ann_topk_opq_sql(
+            ANN_QUERY_MAX, ANN_K, _pq_codebooks(), _seeded_rotation()
+        ),
+        "ann_topk_ivf_opq": oracles.ann_topk_ivf_pq_sql(
+            ANN_QUERY_MAX, ANN_K, _ivf_centroids(), _pq_codebooks(),
+            _ivf_nprobe(), rotation=_seeded_rotation(),
+        ),
         "kg_ppr": oracles.kg_ppr_sql(PPR_SEEDS),
         "ann_topk_ivf_pq": oracles.ann_topk_ivf_pq_sql(
             ANN_QUERY_MAX, ANN_K, _ivf_centroids(), _pq_codebooks(),
@@ -1642,6 +1703,12 @@ def _pq_codebooks():
     from ner_funtool_spark.operators.similarity import seeded_pq_codebooks
 
     return seeded_pq_codebooks()
+
+
+def _seeded_rotation():
+    from ner_funtool_spark.operators.similarity import seeded_rotation
+
+    return seeded_rotation()
 
 
 def _ivf_centroids():

@@ -53,10 +53,17 @@ def main() -> None:
         blocks pinned by lingering python references, GC pressure
         after 30+ queries).  Drop every cached plan and force a python
         GC so the ContextCleaner releases checkpoint/broadcast blocks
-        before the next query is timed."""
+        before the next query is timed.  The entry module's session
+        memo (_EDGE_CACHE) is cleared too: clearCache unpersists its
+        frames, and reusing them silently recomputes the tagging stage
+        — each query should re-persist its own inputs instead.  Net:
+        every per-query wall is SELF-CONTAINED (cold caches), so r4+
+        numbers are not 1:1 comparable with r3 single-session walls
+        for queries that shared cached inputs."""
         import gc
 
         spark.catalog.clearCache()
+        getattr(mod, "_EDGE_CACHE", {}).clear()
         gc.collect()
 
     def timed(name, fn, reps: int = 1):
@@ -109,6 +116,9 @@ def main() -> None:
         "kg_two_hop", "kg_comention_pmi", "kg_triangles", "kg_skew_report",
         "kg_communities", "sketch_profile_invariants", "kg_kcore",
         "ann_topk_pq", "kg_ppr", "ann_topk_ivf_pq",
+        # r4 additions: layout-served and temporal-dimension tier
+        "kg_two_hop_store", "events_time_pruned", "tag_metrics_micro",
+        "kg_entity_temporal",
     ):
         # construction is inside the timing: declarative queries build
         # lazily (~ms), but queries that materialize eagerly during

@@ -664,3 +664,72 @@ def opq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
                                 init_codebooks=cb)
     emb.unpersist()
     return rot.tolist(), cb
+
+
+def seeded_rotation(dim: int = EMBED_DIM, seed: int = SEED):
+    """Deterministic orthogonal rotation (QR of a seeded gaussian),
+    entries rounded to 6 decimals so the DuckDB oracle embeds exactly
+    the same literals — the seeded stand-in for a trained OPQ rotation
+    (same contract as seeded_pq_codebooks vs pq_train_codebooks)."""
+    rng = np.random.RandomState(seed + 41)
+    q, _ = np.linalg.qr(rng.randn(dim, dim))
+    return [[round(float(v), 6) for v in row] for row in q]
+
+
+def rotate_embeddings_exact(embeddings: DataFrame, rotation,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """x -> round(R·x, 6) as ONE codegen projection of sequential-fold
+    dot products (F.aggregate) — the cross-engine-deterministic
+    rotation for oracle-backed queries: the DuckDB mirror's
+    list_sum(list_transform(...)) adds in the same element order, so
+    the rounded doubles hash identically (the established _l2sq/_dot
+    mechanics).  The relational ``rotate_embeddings`` (groupBy sum,
+    nondeterministic fp order) stays the trainer-side path."""
+    cols = []
+    for row in rotation:
+        r = F.array(*[F.lit(float(v)) for v in row])
+        cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col), r, lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+        )
+    return embeddings.select(F.col(id_col), F.array(*cols).alias(vec_col))
+
+
+def topk_opq(embeddings: DataFrame, query_ids: list[int], k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             rotation=None, codebooks=None) -> DataFrame:
+    """OPQ-shaped ANN: rotate (seeded orthogonal R, rounded) then PQ
+    ADC top-k — the composed rotation+quantization serving path.  With
+    trained (rotation, codebooks) from opq_train this is production
+    OPQ; with the seeded pair the ENTIRE path is value-hash-checked
+    against the DuckDB mirror (rotation literals shared)."""
+    if rotation is None:
+        rotation = seeded_rotation()
+    rotated = rotate_embeddings_exact(embeddings, rotation,
+                                      id_col=id_col, vec_col=vec_col)
+    return topk_pq(rotated, query_ids, k, id_col=id_col, vec_col=vec_col,
+                   codebooks=codebooks)
+
+
+def topk_ivf_opq(embeddings: DataFrame, query_ids: list[int], k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 rotation=None, centroids=None, codebooks=None,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """The fully-composed production ANN: rotation (OPQ) -> IVF probed
+    lists bound the candidates -> PQ/ADC scores them.  One rotation
+    pass, then every stage an equi-join; with the seeded (R, centroids,
+    codebooks) the whole composition is value-hash-checked."""
+    if rotation is None:
+        rotation = seeded_rotation()
+    rotated = rotate_embeddings_exact(embeddings, rotation,
+                                      id_col=id_col, vec_col=vec_col)
+    return topk_ivf_pq(rotated, query_ids, k, id_col=id_col,
+                       vec_col=vec_col, centroids=centroids,
+                       codebooks=codebooks, nprobe=nprobe)

@@ -138,3 +138,23 @@ def corpus_vocab(documents: DataFrame, text_col: str = "text",
         if p not in seen:
             seen[p] = len(seen)
     return seen
+
+
+def corpus_vocab_with_subwords(documents: DataFrame, text_col: str = "text",
+                               min_freq: int = 10,
+                               max_vocab: int = 30_000) -> dict[str, int]:
+    """corpus_vocab + a MULTI-CHAR continuation piece ('##' + token)
+    for every frequent whole token — the vocab shape that exercises
+    the general greedy longest-match (a continuation can consume many
+    characters at once, not just one ##char).  Continuation ids extend
+    the base vocab in the same (freq desc, token) order, so the DuckDB
+    mirror can re-derive identical ids."""
+    base = corpus_vocab(documents, text_col, min_freq, max_vocab)
+    out = dict(base)
+    for tok, _ in sorted(base.items(), key=lambda kv: kv[1]):
+        if tok.startswith("##") or tok.startswith("[") or len(tok) < 2:
+            continue
+        cont = "##" + tok
+        if cont not in out:
+            out[cont] = len(out)
+    return out

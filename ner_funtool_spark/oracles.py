@@ -1608,6 +1608,152 @@ JOIN labmap lm ON lm.lab = tr.plab
 """
 
 
+def wordpiece_features_multipiece_sql(min_freq: int = 10,
+                                      max_len: int = 64) -> str:
+    """General greedy-longest-match mirror for the DOUBLED-word /
+    subword-vocab gate: the vocab adds a multi-char continuation piece
+    '##tok' per frequent token (corpus_vocab_with_subwords id order),
+    and the split is replayed as a RECURSIVE CTE state machine over
+    (word, rest, pieces) — each step consumes the longest matching
+    piece (first: raw vocab prefix; later: '##' continuation), a stuck
+    state never completes and COALESCEs to whole-word [UNK], exactly
+    functions/wordpiece.py:wordpiece.  Everything downstream
+    (truncation, [CLS]/[SEP], X alignment, padding, ids) is identical
+    to wordpiece_features_sql."""
+    ops = _inlist(DOC_OP_WORDS)
+    objs = _inlist(DOC_OBJ_WORDS)
+    return f"""
+WITH RECURSIVE words0 AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+words_orig AS (
+    SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos
+    FROM words0
+),
+words AS (
+    SELECT doc_id, word || word AS word, wpos FROM words_orig
+),
+freq AS (
+    SELECT word AS tok, count(*) AS cnt FROM words_orig
+    GROUP BY word HAVING count(*) >= {min_freq}
+),
+charlist AS (SELECT string_split('{WP_CHARSET}', '') AS cl),
+baselist AS (
+    SELECT ['[PAD]','[UNK]','[CLS]','[SEP]'] || cl
+           || list_transform(cl, c -> '##' || c) AS bl
+    FROM charlist
+),
+base AS (
+    SELECT unnest(bl) AS piece, generate_subscripts(bl, 1) - 1 AS id
+    FROM baselist
+),
+freqv AS (
+    SELECT tok, cnt FROM freq
+    WHERE tok <> '' AND tok NOT IN (SELECT piece FROM base)
+),
+vocab0 AS (
+    SELECT piece, id FROM base
+    UNION ALL
+    SELECT tok,
+           (SELECT count(*) FROM base) - 1
+           + row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
+    FROM freqv
+),
+vocab AS (
+    SELECT piece, id FROM vocab0
+    UNION ALL
+    SELECT '##' || tok,
+           (SELECT count(*) FROM vocab0) - 1
+           + row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
+    FROM freqv
+    WHERE len(tok) >= 2 AND ('##' || tok) NOT IN (SELECT piece FROM vocab0)
+),
+dwords AS (SELECT DISTINCT word FROM words),
+splits(word, rest, pieces) AS (
+    SELECT word, word AS rest, CAST([] AS VARCHAR[]) AS pieces
+    FROM dwords WHERE word <> '' AND len(word) <= 200
+  UNION ALL
+    SELECT word, substr(rest, fl + 1),
+           list_append(pieces,
+             CASE WHEN len(pieces) = 0 THEN substr(rest, 1, fl)
+                  ELSE '##' || substr(rest, 1, fl) END)
+    FROM (
+      SELECT s.word, s.rest, s.pieces,
+             (SELECT max(CASE WHEN len(s.pieces) = 0 THEN len(v.piece)
+                              ELSE len(v.piece) - 2 END)
+              FROM vocab v
+              WHERE (len(s.pieces) = 0
+                     AND v.piece NOT LIKE '##%'
+                     AND v.piece = substr(s.rest, 1, len(v.piece)))
+                 OR (len(s.pieces) > 0 AND v.piece LIKE '##%'
+                     AND len(v.piece) > 2
+                     AND substr(v.piece, 3) =
+                         substr(s.rest, 1, len(v.piece) - 2))) AS fl
+      FROM splits s WHERE s.rest <> ''
+    ) WHERE fl IS NOT NULL AND fl >= 1
+),
+wpieces AS (
+    SELECT d.word,
+      CASE WHEN d.word = '' THEN CAST([] AS VARCHAR[])
+           ELSE COALESCE(c.pieces, ['[UNK]']) END AS pieces
+    FROM dwords d
+    LEFT JOIN (SELECT word, pieces FROM splits WHERE rest = '') c
+      USING (word)
+),
+doc_pieces AS (
+    SELECT w.doc_id, w.wpos, p.pieces,
+           CASE WHEN w.word IN ({ops}) THEN 'op'
+                WHEN w.word IN ({objs}) THEN 'obj'
+                ELSE 'O' END AS lab
+    FROM words w JOIN wpieces p USING (word)
+),
+flat AS (
+    SELECT doc_id, wpos, unnest(pieces) AS piece,
+           generate_subscripts(pieces, 1) AS k, lab
+    FROM doc_pieces
+),
+seqd AS (
+    SELECT doc_id, piece,
+           CASE WHEN k = 1 THEN lab ELSE 'X' END AS plab,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wpos, k) AS seq
+    FROM flat
+),
+trunc AS (SELECT * FROM seqd WHERE seq <= {max_len} - 2),
+nn AS (
+    SELECT d.doc_id, count(t.seq) AS n
+    FROM documents d LEFT JOIN trunc t USING (doc_id)
+    GROUP BY d.doc_id
+),
+positions AS (
+    SELECT doc_id, unnest(range({max_len})) AS pos FROM documents
+),
+tokrows AS (
+    SELECT p.doc_id, p.pos,
+      CASE WHEN p.pos = 0 THEN '[CLS]'
+           WHEN p.pos <= nn.n THEN t.piece
+           WHEN p.pos = nn.n + 1 THEN '[SEP]'
+           ELSE '[PAD]' END AS token,
+      CASE WHEN p.pos = 0 THEN '[CLS]'
+           WHEN p.pos <= nn.n THEN t.plab
+           WHEN p.pos = nn.n + 1 THEN '[SEP]'
+           ELSE 'O' END AS plab,
+      CASE WHEN p.pos <= nn.n + 1 THEN 1 ELSE 0 END AS input_mask
+    FROM positions p
+    JOIN nn USING (doc_id)
+    LEFT JOIN trunc t ON t.doc_id = p.doc_id AND t.seq = p.pos
+),
+labmap(lab, lid) AS (VALUES
+    ('[PAD]', 0), ('[CLS]', 1), ('[SEP]', 2), ('O', 3), ('X', 4),
+    ('op', 5), ('obj', 6))
+SELECT tr.doc_id, tr.pos::INT AS pos, tr.token,
+       v.id::INT AS input_id, tr.input_mask::INT AS input_mask,
+       lm.lid::INT AS label_id
+FROM tokrows tr
+JOIN vocab v ON v.piece = tr.token
+JOIN labmap lm ON lm.lab = tr.plab
+"""
+
+
 def asof_join_keyed_sql() -> str:
     """Per-key ASOF oracle: rates for every (event_type, hour) pair so
     the Spark operator's lookback horizon is never exceeded."""
@@ -2144,6 +2290,74 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_topk_opq_sql(query_max_id: int, k: int,
+                     codebooks: list[list[list[float]]],
+                     rotation: list[list[float]],
+                     subdim: int = 8) -> str:
+    """OPQ/ADC mirror: the seeded orthogonal rotation applied FIRST —
+    round(R·x, 6) with R's rows as literals, the dot products summed
+    in element order (list_sum over list_transform, matching the
+    Spark side's sequential F.aggregate fold bit-for-bit) — then the
+    identical PQ argmin-encode / table-lookup ADC / rounded-rank
+    pipeline as ann_topk_pq_sql."""
+    m_count = len(codebooks)
+    dim = len(rotation)
+    rows = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(v) for v in code)}]::DOUBLE[])"
+        for m, sub in enumerate(codebooks) for j, code in enumerate(sub)
+    )
+    rmat = ", ".join(repr(float(v)) for row in rotation for v in row)
+    l2 = (f"list_sum(list_transform(range({subdim}), i -> "
+          f"(s.sv[i + 1] - c.cvec[i + 1]) * "
+          f"(s.sv[i + 1] - c.cvec[i + 1])))")
+    return f"""
+WITH cb(m, j, cvec) AS MATERIALIZED (VALUES {rows}),
+rmat AS (SELECT [{rmat}]::DOUBLE[] AS r),
+rot AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(range({dim}), i ->
+               round(list_sum(list_transform(range({dim}), j ->
+                   embedding[j + 1]::DOUBLE * r[i * {dim} + j + 1])), 6))
+               AS embedding
+    FROM embeddings, rmat
+),
+sub AS MATERIALIZED (
+    SELECT vec_id, m,
+           embedding[m * {subdim} + 1 : m * {subdim} + {subdim}] AS sv
+    FROM rot, range({m_count}) r(m)
+),
+enc AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, c.j,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {l2} ASC, c.j ASC) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+    ) WHERE rn = 1
+),
+qtab AS MATERIALIZED (
+    SELECT s.vec_id AS query_id, s.m, c.j AS code, {l2} AS qd
+    FROM sub s JOIN cb c ON s.m = c.m
+    WHERE s.vec_id < {query_max_id}
+),
+scored AS (
+    SELECT t.query_id, e.neighbor_id, round(sum(t.qd), 6) AS adist
+    FROM enc e JOIN qtab t ON e.m = t.m AND e.code = t.code
+    WHERE e.neighbor_id <> t.query_id
+    GROUP BY t.query_id, e.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, adist, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def kg_ppr_sql(seeds: list[str], iterations: int = 5,
                damping: float = 0.85) -> str:
     """Personalized PageRank mirror: restart + dangling mass teleport
@@ -2193,11 +2407,16 @@ def ann_topk_ivf_pq_sql(query_max_id: int, k: int,
                         centroids: list[list[float]],
                         codebooks: list[list[list[float]]],
                         nprobe: int, subdim: int = 8,
-                        dim: int = 64) -> str:
+                        dim: int = 64,
+                        rotation: list[list[float]] | None = None) -> str:
     """Composed IVF+PQ mirror: candidates bounded by the query's nprobe
     nearest centroid lists (same literals/tie-breaks as the IVF
     oracle), scored by the PQ/ADC table-lookup sum (same codebook
-    literals as the PQ oracle), ranked by rounded distance + id."""
+    literals as the PQ oracle), ranked by rounded distance + id.
+
+    With ``rotation``, the whole pipeline runs in the rotated space
+    (round(R·x, 6) first, element-order sums — the ann_topk_opq
+    mechanics): that is the composed IVF+OPQ serving path."""
     cvalues = ", ".join(
         "({}, [{}])".format(i, ", ".join(repr(v) for v in c))
         for i, c in enumerate(centroids)
@@ -2211,13 +2430,29 @@ def ann_topk_ivf_pq_sql(query_max_id: int, k: int,
     l2 = (f"list_sum(list_transform(range({subdim}), i -> "
           f"(s.sv[i + 1]::DOUBLE - c.cvec[i + 1]) * "
           f"(s.sv[i + 1]::DOUBLE - c.cvec[i + 1])))")
+    src = "embeddings"
+    rot_cte = ""
+    if rotation is not None:
+        rdim = len(rotation)
+        rmat = ", ".join(repr(float(v)) for row in rotation for v in row)
+        rot_cte = f"""rmat AS (SELECT [{rmat}]::DOUBLE[] AS r),
+rot AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(range({rdim}), i ->
+               round(list_sum(list_transform(range({rdim}), j ->
+                   embedding[j + 1]::DOUBLE * r[i * {rdim} + j + 1])), 6))
+               AS embedding
+    FROM embeddings, rmat
+),
+"""
+        src = "rot"
     return f"""
-WITH cents(cid, vec) AS (VALUES {cvalues}),
+WITH {rot_cte}cents(cid, vec) AS (VALUES {cvalues}),
 cscored AS MATERIALIZED (
     SELECT e.vec_id, c.cid,
            row_number() OVER (
                PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cid ASC) AS pr
-    FROM embeddings e CROSS JOIN cents c
+    FROM {src} e CROSS JOIN cents c
 ),
 corpus_cid AS MATERIALIZED (
     SELECT vec_id AS neighbor_id, cid FROM cscored WHERE pr = 1
@@ -2230,7 +2465,7 @@ cb(m, j, cvec) AS MATERIALIZED (VALUES {rows}),
 sub AS MATERIALIZED (
     SELECT vec_id, m,
            embedding[m * {subdim} + 1 : m * {subdim} + {subdim}] AS sv
-    FROM embeddings, range({m_count}) r(m)
+    FROM {src}, range({m_count}) r(m)
 ),
 enc AS MATERIALIZED (
     SELECT vec_id AS neighbor_id, m, j AS code FROM (

@@ -88,4 +88,9 @@ def plan_summary(df: DataFrame) -> dict:
         "per_row_python": cnt(_PER_ROW_PYTHON),
         "window_group_limit": cnt(r"WindowGroupLimit"),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[A-Za-z]", plan)),
+        # non-empty PartitionFilters = the scan prunes partition dirs
+        # at plan time (r4: the range-layout read path's regression bit)
+        "partition_filters": bool(
+            re.search(r"PartitionFilters: \[[^\]]*[A-Za-z]", plan)
+        ),
     }

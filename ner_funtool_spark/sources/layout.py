@@ -26,19 +26,30 @@ from pyspark.sql import functions as F
 
 
 def write_events_range_partitioned(events: DataFrame, path: str,
-                                   ts_col: str = "ts") -> None:
+                                   ts_col: str = "ts",
+                                   files_per_date: int = 1) -> None:
     """Materialize events partitioned by event date.
 
     ``repartition("event_date")`` routes each date's rows to one task
     so every partition directory holds one file (no small-file spray:
     with T tasks and D dates an unrepartitioned write creates up to
     T*D files).  For production volumes where one day exceeds a task,
-    repartition(N, "event_date", salt) spreads within the date dir.
+    ``files_per_date > 1`` adds a deterministic salt to the
+    repartition so a hot date spreads over up to that many tasks/files
+    — the skew treatment of the salted triples write applied to the
+    time dimension (a single 100 TB-scale day must not serialize
+    through one writer).
     """
+    e = events.withColumn("event_date", F.to_date(F.col(ts_col)))
+    if files_per_date > 1:
+        salt = F.pmod(
+            F.xxhash64(F.col(ts_col).cast("string")), F.lit(files_per_date)
+        )
+        e = e.repartition(F.col("event_date"), salt)
+    else:
+        e = e.repartition("event_date")
     (
-        events.withColumn("event_date", F.to_date(F.col(ts_col)))
-        .repartition("event_date")
-        .write.mode("overwrite")
+        e.write.mode("overwrite")
         .partitionBy("event_date")
         .parquet(path)
     )

@@ -411,3 +411,55 @@ def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
     q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
     q.awaitTermination()
     return rounds_log
+
+
+def stream_comention_ivm(spark: SparkSession, docs_path: str,
+                         store_path: str,
+                         schema: str = "doc_id bigint, text string, "
+                                       "lang string, source string, "
+                                       "n_chars bigint") -> int:
+    """Incremental maintenance of the co-mention edge view (the input
+    of the PMI / LPA / k-core analytics tier): each micro-batch
+    contributes the (a, b, n_docs) pairs of ITS documents, merged
+    additively into the versioned snapshot store.
+
+    Additivity holds because co-mention pairs are PER-DOCUMENT
+    (operators/graph.comention_edges joins entities within one doc)
+    and a document belongs to exactly one batch — so the maintained
+    view equals the batch computation exactly (e2e test).  This is how
+    the graph analytics stay current at ingest rates: the per-batch
+    cost is bounded by the batch's documents, never the corpus, and
+    the downstream analytics (comention_pmi, label_propagation, kcore)
+    run unchanged on the maintained view.  Returns the number of
+    micro-batches processed.
+    """
+    from ..operators.graph import comention_edges
+    from ..plans.kg import detect_mentions, documents_as_source
+    from .snapshot import read_snapshot, write_snapshot
+
+    n_batches = [0]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        m = detect_mentions(documents_as_source(batch_df),
+                            domain="doc", mode="rules")
+        delta = comention_edges(m)
+        existing = read_snapshot(spark, store_path, below=epoch_id)
+        if existing is not None:
+            merged = (
+                existing.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+            )
+        else:
+            merged = delta
+        write_snapshot(merged, store_path, epoch_id)
+        n_batches[0] += 1
+
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return n_batches[0]

@@ -471,3 +471,33 @@ def test_stream_pagerank_ivm_matches_batch_and_saves_rounds(spark, tmp_path):
     # re-delivery batch re-converges in <= 2 rounds (contraction bound
     # 1.5*tol after one application), strictly under the cold start
     assert rounds_log[-1][1] <= 2 < cold_rounds
+
+
+def test_stream_comention_ivm_equals_batch(spark, tmp_path):
+    """Incrementally-maintained co-mention edge view == batch
+    comention_edges over the full corpus (per-document pair counts are
+    additive across disjoint doc batches), and the maintained view
+    feeds the batch analytics unchanged."""
+    from ner_funtool_spark.operators.graph import comention_edges
+    from ner_funtool_spark.plans.kg import detect_mentions, documents_as_source
+    from ner_funtool_spark.streaming.snapshot import read_snapshot
+    from ner_funtool_spark.streaming.stream import stream_comention_ivm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = tmp_path / "cmsrc"
+    src.mkdir()
+    for i in range(3):
+        (docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+    store = str(tmp_path / "cmstore")
+    n = stream_comention_ivm(spark, f"{src}/*", store)
+    assert n == 3
+    got = {
+        (r["a"], r["b"]): r["n_docs"]
+        for r in read_snapshot(spark, store).collect()
+    }
+    m = detect_mentions(documents_as_source(docs), domain="doc", mode="rules")
+    want = {
+        (r["a"], r["b"]): r["n_docs"] for r in comention_edges(m).collect()
+    }
+    assert got == want and len(want) > 0

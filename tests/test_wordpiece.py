@@ -156,3 +156,22 @@ def test_corpus_vocab_top_n_cap_is_deterministic(spark):
     assert any(k.startswith("cold") for k in full)
     # specials + char fallback never count against the cap
     assert "[UNK]" in capped and "##z" in capped
+
+
+def test_subword_vocab_multichar_continuations(spark):
+    """corpus_vocab_with_subwords: a frequent doubled word splits as
+    [w, ##w] — the greedy match consumes a MULTI-CHAR continuation."""
+    from ner_funtool_spark.operators.wordpiece_stage import (
+        corpus_vocab_with_subwords,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "join filter join") for i in range(5)], "doc_id long, text string"
+    )
+    v = corpus_vocab_with_subwords(docs, min_freq=5)
+    assert "##join" in v and "##filter" in v
+    assert wordpiece("joinjoin", v) == ["join", "##join"]
+    # rare word still falls back to char continuations
+    assert wordpiece("zq", v) == ["z", "##q"]
+    # continuation ids extend the base vocab deterministically
+    assert v["##join"] > v["join"] and v["##filter"] > v["filter"]

@@ -68,6 +68,7 @@ def main() -> int:
 
     qs, os_ = mod.queries(), mod.oracle_sql()
     fails = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,9 +83,14 @@ def main() -> int:
                 print(f"{name}: rows={len(sdf)} rows-only CANONICALIZE "
                       f"FAILED: {type(ex).__name__}: {ex}")
                 fails.append(name)
+                report[name] = {"status": "err", "spark_rows": len(sdf),
+                                "err": f"{type(ex).__name__}: {ex}"}
                 continue
             print(f"{name}: rows={len(sdf)} (no oracle — rows-only check, "
                   "canonicalization ok)")
+            report[name] = {"status": "no_oracle", "spark_rows": len(sdf),
+                            "rows_match": None, "schema_match": None,
+                            "hash_match": None, "err": None}
             continue
         odf = con.execute(os_[name]).df()
         ok_rows = len(sdf) == len(odf)
@@ -94,11 +100,17 @@ def main() -> int:
         except Exception as ex:
             print(f"{name}: CANONICALIZE FAILED: {type(ex).__name__}: {ex}")
             fails.append(name)
+            report[name] = {"status": "err", "spark_rows": len(sdf),
+                            "err": f"{type(ex).__name__}: {ex}"}
             continue
         status = "OK" if (ok_rows and ok_schema and ok_hash) else "MISMATCH"
         print(f"{name}: spark_rows={len(sdf)} oracle_rows={len(odf)} "
               f"schema={'ok' if ok_schema else sorted(sdf.columns) + ['|'] + sorted(odf.columns)} "
               f"hash={'ok' if ok_hash else 'DIFF'} -> {status}")
+        report[name] = {"status": status.lower(), "rows_match": ok_rows,
+                        "schema_match": ok_schema, "hash_match": ok_hash,
+                        "spark_rows": len(sdf), "oracle_rows": len(odf),
+                        "err": None}
         if status != "OK":
             fails.append(name)
             if ok_schema:
@@ -109,6 +121,17 @@ def main() -> int:
                 print("  spark-only:", list(sa - sb)[:3])
                 print("  oracle-only:", list(sb - sa)[:3])
     spark.stop()
+    json_path = os.environ.get("DRIVER_SIM_JSON")
+    if json_path:
+        # full-registry correctness artifact (r3 verdict item 3): the
+        # committed JSON's key set equals queries() so a driver
+        # snapshot can never under-cover the registry again
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                        "queries": report}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(report)} queries)")
     print("FAILED:" if fails else "ALL OK", fails if fails else "")
     return 1 if fails else 0
 

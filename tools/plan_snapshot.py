@@ -44,6 +44,14 @@ PLAN_QUERIES = [
     "kg_two_hop",
     "kg_comention_pmi",
     "kg_skew_report",
+    # r4: layout-served queries — the pruned/co-located read paths ARE
+    # the regression surface (kg_two_hop_store writes its indexes at
+    # construction; the snapshot pins the read plan's zero-Exchange
+    # join; events_time_pruned pins PartitionFilters reaching the scan)
+    "kg_two_hop_store",
+    "events_time_pruned",
+    "kg_entity_temporal",
+    "tag_metrics_micro",
 ]
 
 

@@ -634,6 +634,36 @@ def _q_kg_mentions_neural_invariants(spark, sf_dir):
     return out
 
 
+def _q_kg_mentions_albert_invariants(spark, sf_dir):
+    """Violations-vs-empty-oracle for the ALBERT-variant encoder path
+    (functions/model.SeededAlbertBiLSTM: factorized embedding +
+    cross-layer parameter sharing, modeling_albert.py semantics) —
+    same structural gates as the BERT-path invariants."""
+    from ner_funtool_spark.config import DOC_ETYPES
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="albert")
+    checks = [
+        ("begin_nonneg", F.col("begin") < 0),
+        ("end_after_begin", F.col("end") <= F.col("begin")),
+        ("end_within_sentence", F.col("end") > F.length("sentence")),
+        (
+            "text_matches_offsets",
+            F.expr("substring(sentence, begin + 1, end - begin)") != F.col("text"),
+        ),
+        ("etype_known", ~F.col("etype").isin(*list(DOC_ETYPES))),
+        ("model_name", F.col("model") != F.lit("albert_doc_v1")),
+    ]
+    out = None
+    for cname, cond in checks:
+        v = m.filter(cond).select(
+            F.lit(cname).alias("invariant"), "repo", "path",
+            F.col("begin").alias("mbegin"), F.col("end").alias("mend"),
+        )
+        out = v if out is None else out.unionAll(v)
+    return out
+
+
 def _q_kg_mentions_cascade_invariants(spark, sf_dir):
     """Same violations-vs-empty-oracle pattern for the cascade decode
     path (dual-head boundary Viterbi + type argmax + trans_label)."""
@@ -1522,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_neural": _q_kg_mentions_neural,
         "kg_mentions_cascade": _q_kg_mentions_cascade,
         "kg_mentions_neural_invariants": _q_kg_mentions_neural_invariants,
+        "kg_mentions_albert_invariants": _q_kg_mentions_albert_invariants,
         "kg_mentions_cascade_invariants": _q_kg_mentions_cascade_invariants,
         "wordpiece_features": _q_wordpiece_features,
         "wordpiece_features_multipiece": _q_wordpiece_features_multipiece,
@@ -1622,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracles.asof_join_sql(),
         "asof_join_keyed": oracles.asof_join_keyed_sql(),
         "kg_mentions_neural_invariants": oracles.neural_invariants_sql(),
+        "kg_mentions_albert_invariants": oracles.neural_invariants_sql(),
         "kg_mentions_cascade_invariants": oracles.neural_invariants_sql(),
         "wordpiece_invariants": oracles.wordpiece_invariants_sql(),
         "wordpiece_features": oracles.wordpiece_features_sql(min_freq=500),

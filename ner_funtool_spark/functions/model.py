@@ -214,3 +214,90 @@ def class_emissions(cls: np.ndarray, n_types: int) -> np.ndarray:
         blk = slice(1 + 4 * (t - 1), 5 + 4 * (t - 1))
         em[:, :, blk] = np.where((cls == t)[:, :, None], EMIT_SCORE, 0.0)
     return em
+
+
+class SeededAlbertBiLSTM(SeededBiLSTM):
+    """Seeded toy-scale ALBERT encoder — the reference's two ALBERT
+    variants (bert/modeling_albert.py:130, modeling_google_albert.py:
+    126) share exactly two structural deltas vs BERT, both mirrored
+    here:
+
+    * FACTORIZED embedding parameterization: tokens embed at a small
+      E (= embed_dim // 2) with position embeddings in the same space,
+      then ONE learned projection E -> D feeds the stack (ALBERT's
+      "embedding size != hidden size" decoupling);
+    * CROSS-LAYER PARAMETER SHARING: a single transformer layer's
+      weights (attention + FFN + LayerNorms) are applied ``n_layers``
+      times — the layer loop reuses the same dict, so sharing is
+      structural, not an initialization coincidence.
+
+    Per-layer semantics (multi-head self-attention with additive pad
+    mask, residual + LayerNorm, gelu FFN) are identical to
+    SeededBertBiLSTM; heads/Viterbi interface inherited, so the decode
+    machinery and fixtures work unchanged.  Weights draw from
+    ``RandomState(seed + 103)`` AFTER the base draws, keeping every
+    base-seeded artifact stable.
+    """
+
+    def __init__(self, vocab_size: int, n_tags: int, *,
+                 n_attr: int | None = None, embed_dim: int = EMBED_DIM,
+                 hidden: int = HIDDEN_DIM, seed: int = SEED,
+                 n_layers: int = 2, n_heads: int = 4, max_pos: int = 128,
+                 factor_dim: int | None = None):
+        super().__init__(vocab_size, n_tags, n_attr=n_attr,
+                         embed_dim=embed_dim, hidden=hidden, seed=seed)
+        rng = np.random.RandomState(seed + 103)
+        D = embed_dim
+        E = factor_dim if factor_dim is not None else D // 2
+        assert D % n_heads == 0 and E < D
+        self.n_layers = n_layers
+        self.n_heads = n_heads
+        self.factor_dim = E
+        self.emb_e = (rng.randn(vocab_size, E) * 0.3).astype(np.float32)
+        self.pos_e = (rng.randn(max_pos, E) * 0.1).astype(np.float32)
+        self.emb_proj = (rng.randn(E, D) * 0.3).astype(np.float32)
+        lw = {}
+        for name in ("wq", "wk", "wv", "wo"):
+            lw[name] = (rng.randn(D, D) * 0.3).astype(np.float32)
+            lw["b" + name[1]] = (rng.randn(D) * 0.1).astype(np.float32)
+        lw["g1"] = np.ones(D, dtype=np.float32)
+        lw["be1"] = np.zeros(D, dtype=np.float32)
+        lw["w1"] = (rng.randn(D, 4 * D) * 0.3).astype(np.float32)
+        lw["c1"] = (rng.randn(4 * D) * 0.1).astype(np.float32)
+        lw["w2"] = (rng.randn(4 * D, D) * 0.3).astype(np.float32)
+        lw["c2"] = (rng.randn(D) * 0.1).astype(np.float32)
+        lw["g2"] = np.ones(D, dtype=np.float32)
+        lw["be2"] = np.zeros(D, dtype=np.float32)
+        self.shared_layer = lw
+
+    def encode(self, ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """ids [B,S] -> [B,S,H]: factorized embed -> shared-layer
+        stack (same weights n_layers times) -> BiLSTM fw+bw."""
+        B, S = ids.shape
+        mask = np.arange(S)[None, :] < np.asarray(lengths)[:, None]
+        x = ((self.emb_e[ids] + self.pos_e[None, :S]) @ self.emb_proj) \
+            .astype(np.float32)
+        dh = x.shape[-1] // self.n_heads
+        neg = np.where(mask, 0.0, -1e4).astype(np.float32)[:, None, None, :]
+        lw = self.shared_layer
+        for _ in range(self.n_layers):
+
+            def heads(w, b):
+                return (x @ w + b).reshape(
+                    B, S, self.n_heads, dh).transpose(0, 2, 1, 3)
+
+            q, k, v = (heads(lw["wq"], lw["bq"]), heads(lw["wk"], lw["bk"]),
+                       heads(lw["wv"], lw["bv"]))
+            sc = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh) + neg
+            sc -= sc.max(axis=-1, keepdims=True)
+            p = np.exp(sc)
+            p /= p.sum(axis=-1, keepdims=True)
+            ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, S, -1)
+            a = ctx @ lw["wo"] + lw["bo"]
+            x = _layer_norm(x + a, lw["g1"], lw["be1"])
+            f = _gelu(x @ lw["w1"] + lw["c1"]) @ lw["w2"] + lw["c2"]
+            x = _layer_norm(x + f, lw["g2"], lw["be2"])
+        x = (x * mask[:, :, None]).astype(np.float32)
+        fw = self._lstm(x, mask, 0, reverse=False)
+        bw = self._lstm(x, mask, 1, reverse=True)
+        return fw + bw

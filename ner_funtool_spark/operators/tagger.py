@@ -39,7 +39,21 @@ from ..functions.crf import (
     viterbi_decode_classes,
 )
 from ..functions.hashing import md5_int
-from ..functions.model import EMIT_SCORE, SeededBertBiLSTM, SeededBiLSTM
+from ..functions.model import (
+    EMIT_SCORE,
+    SeededAlbertBiLSTM,
+    SeededBertBiLSTM,
+    SeededBiLSTM,
+)
+
+
+def _build_encoder(mode: str, n_types: int, seed: int) -> SeededBiLSTM:
+    """Encoder per mode: 'albert' = factorized-embedding shared-layer
+    variant (modeling_albert.py semantics), else the BERT-style stack;
+    both feed the same BiLSTM + Viterbi machinery."""
+    cls = SeededAlbertBiLSTM if mode == "albert" else SeededBertBiLSTM
+    return cls(NEURAL_VOCAB, 1 + 4 * n_types, n_attr=n_types + 1, seed=seed)
+
 
 TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]")
 IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -302,14 +316,14 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                         cls, n_types, trans_c, lens, start_c, end_c,
                         emit_score=EMIT_SCORE,
                     )
-                elif mode in ("neural", "cascade"):
+                elif mode in ("neural", "cascade", "albert"):
                     if neural is None:
-                        neural = SeededBertBiLSTM(
-                            NEURAL_VOCAB, 1 + 4 * n_types,
-                            n_attr=n_types + 1, seed=seed,
-                        )
+                        neural = _build_encoder(mode, n_types, seed)
                     ids = _ids_from_tokens(toks)
-                    tags = _neural_decode(neural, ids, lens, n_types, mode)
+                    tags = _neural_decode(
+                        neural, ids, lens, n_types,
+                        "neural" if mode == "albert" else mode,
+                    )
                 else:
                     raise ValueError(mode)
             m = extract_mentions_arrays(tags, tb, te, lens)
@@ -487,10 +501,12 @@ def tag_sequences(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 )
             else:
                 if neural is None:
-                    neural = SeededBertBiLSTM(NEURAL_VOCAB, 1 + 4 * n_types,
-                                              n_attr=n_types + 1, seed=seed)
+                    neural = _build_encoder(mode, n_types, seed)
                 ids = _ids_from_tokens(toks)
-                tags = _neural_decode(neural, ids, lens, n_types, mode)
+                tags = _neural_decode(
+                    neural, ids, lens, n_types,
+                    "neural" if mode == "albert" else mode,
+                )
             res = pdf.reset_index(drop=True).copy()
             res["tokens"] = [list(toks[i, : lens[i]]) for i in range(len(pdf))]
             res["tags"] = [list(tagnames[tags[i, : lens[i]]]) for i in range(len(pdf))]

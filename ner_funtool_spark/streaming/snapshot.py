@@ -98,6 +98,39 @@ def read_snapshot(spark: SparkSession, store_path: str,
     return spark.read.parquet(_version_dir(store_path, v))
 
 
+def compact_snapshot(spark: SparkSession, store_path: str,
+                     target_mb: int = 128) -> dict:
+    """Maintenance compaction for a snapshot store: rewrite the latest
+    committed snapshot into ~target_mb files as the NEXT version.
+
+    Micro-batch loops leave each snapshot with one file per task per
+    batch; folding the head through the same versioned-commit path
+    keeps reads fast without breaking atomic visibility (readers see
+    either the old head or the compacted one, never a partial
+    rewrite).  Run between stream runs (single-writer contract): if a
+    resumed stream later replays the epoch whose slot the compaction
+    took, it simply overwrites it with the equivalent uncompacted view
+    — correctness is preserved, only the compaction is undone.
+    Returns {from_version, to_version, out_files}.
+    """
+    head = latest_committed_version(spark, store_path)
+    if head is None:
+        raise ValueError(f"no committed snapshot under {store_path}")
+    df = spark.read.parquet(_version_dir(store_path, head))
+    fs, _, jvm = _fs_and_path(spark, store_path)
+    total = 0
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(
+        _version_dir(store_path, head)), True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
+    write_snapshot(df.repartition(int(n_out)), store_path, head + 1)
+    return {"from_version": head, "to_version": head + 1,
+            "out_files": int(n_out)}
+
+
 def write_snapshot(df: DataFrame, store_path: str, version: int,
                    keep: int = 2) -> str:
     """Distributed write of ``df`` as snapshot ``version``; on commit,

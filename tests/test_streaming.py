@@ -501,3 +501,22 @@ def test_stream_comention_ivm_equals_batch(spark, tmp_path):
         (r["a"], r["b"]): r["n_docs"] for r in comention_edges(m).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_compact_snapshot_preserves_rows_and_advances_head(spark, tmp_path):
+    from ner_funtool_spark.streaming.snapshot import (
+        compact_snapshot,
+        latest_committed_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    store = str(tmp_path / "fragstore")
+    df = spark.range(0, 5000).selectExpr("id AS node", "id * 2 AS deg")
+    write_snapshot(df.repartition(16), store, 0)  # 16 small files
+    stats = compact_snapshot(spark, store)
+    assert stats == {"from_version": 0, "to_version": 1, "out_files": 1}
+    assert latest_committed_version(spark, store) == 1
+    got = read_snapshot(spark, store)
+    assert got.count() == 5000
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0

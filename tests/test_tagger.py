@@ -118,3 +118,41 @@ def test_extract_mentions_handles_invalid_sequences():
         want = pipeline_rule([f"w{j}" for j in range(n)], [names[t] for t in tags[0]])
         want_set = {(3 * x.begin, 3 * x.end + 2, x.text, x.etype) for x in want}
         assert got_set == want_set, (tags.tolist(), got_set, want_set)
+
+
+def test_albert_encoder_structure_and_decode(spark):
+    """SeededAlbertBiLSTM: factorized embedding (E < D), ONE shared
+    layer applied n_layers times (structural sharing), deterministic
+    encode distinct from the BERT-style stack; the albert tagging mode
+    produces structurally valid mentions."""
+    import numpy as np
+
+    from ner_funtool_spark.functions.model import (
+        SeededAlbertBiLSTM,
+        SeededBertBiLSTM,
+    )
+    from ner_funtool_spark.plans.kg import detect_mentions, documents_as_source
+
+    alb = SeededAlbertBiLSTM(256, 9, n_attr=3)
+    assert alb.factor_dim < alb.embed.shape[1]
+    assert alb.emb_e.shape == (256, alb.factor_dim)
+    # parameter sharing is structural: one dict, not n copies
+    assert isinstance(alb.shared_layer, dict)
+    ids = np.array([[1, 2, 3, 0], [4, 5, 0, 0]])
+    lens = np.array([3, 2])
+    h1 = alb.encode(ids, lens)
+    h2 = alb.encode(ids, lens)
+    assert np.array_equal(h1, h2)  # deterministic
+    bert = SeededBertBiLSTM(256, 9, n_attr=3)
+    assert not np.allclose(h1, bert.encode(ids, lens))
+
+    docs = spark.createDataFrame(
+        [(1, "join scan filter table index", "en", "s0", 29)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    m = detect_mentions(documents_as_source(docs), domain="doc",
+                        mode="albert").collect()
+    for r in m:
+        assert 0 <= r["begin"] < r["end"] <= len(r["sentence"])
+        assert r["text"] == r["sentence"][r["begin"]:r["end"]]
+        assert r["model"] == "albert_doc_v1"

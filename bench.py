@@ -43,6 +43,22 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
+    # host calibration: a fixed single-thread numpy workload, timed
+    # min-of-5.  This session measured the SAME flagship job 3.2x
+    # apart hours apart (BENCH/BASELINE.md drift record), so every
+    # artifact carries its own host-speed sample — compare walls
+    # across artifacts only after normalizing by this number.
+    import numpy as _np
+
+    _a = _np.random.RandomState(0).rand(1024, 1024)
+    cal = []
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(8):
+            _a = _a @ _a % 1.0 + 0.5
+        cal.append(time.time() - t0)
+    host_calibration_sec = round(min(cal), 3)
+
     timings: dict[str, float] = {}
 
     def hygiene():
@@ -140,6 +156,7 @@ def main() -> None:
         "n_files": n_files,
         "n_triples": n_triples,
         "kg_e2e_sec": timings["kg_code_e2e"],
+        "host_calibration_sec": host_calibration_sec,
         # r3 continuation: per-query walls now include query
         # CONSTRUCTION, so eagerly-materializing queries (canonicalize
         # CC loop, pagerank, bloom build, triangles/LPA/kcore) report

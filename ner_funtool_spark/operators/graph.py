@@ -325,6 +325,16 @@ def label_propagation(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     argmax per node) — the same join+agg-per-round shape as pagerank;
     ``localCheckpoint`` truncates lineage per round, the label
     dimension is never broadcast (unbounded), no driver collect.
+
+    Why there is NO incremental (warm-start) LPA counterpart to
+    ``pagerank_converged``: sync LPA is not a contraction toward a
+    unique fixed point — its result is defined BY the trajectory
+    (initial labels = own ids, fixed round count), so warm-starting
+    from a previous graph's labels computes a different, equally valid
+    but non-reproducible labeling that no batch run matches and no
+    oracle can replay.  Incremental maintenance therefore targets
+    LPA's INPUT instead: stream_comention_ivm keeps the edge view
+    current and the batch LPA re-runs on the maintained view.
     """
     e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
         .distinct().persist()

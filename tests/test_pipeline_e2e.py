@@ -117,3 +117,42 @@ def test_generator_determinism(spark):
     a = source_table(spark, 25, partitions=2).orderBy("path").collect()
     b = source_table(spark, 25, partitions=5).orderBy("path").collect()
     assert a == b  # partitioning must not affect content
+
+
+def test_degenerate_inputs_flow_through(spark):
+    """Edge inputs the verify recipe probes, pinned as a test: empty
+    content, whitespace-only, a single token, and a line far beyond
+    the truncation boundary all flow through build_triples without
+    error; truncation bounds mention offsets; empty docs emit only
+    their CONTAINS row."""
+    from pyspark.sql import functions as F
+
+    from ner_funtool_spark.operators.tagger import MAX_LEN
+    from ner_funtool_spark.plans.kg import build_triples
+
+    long_line = "def f" + " x" * (MAX_LEN * 3)
+    rows = [
+        ("r0", "a.py", "c0", "py", ""),
+        ("r0", "b.py", "c0", "py", "   \n  \n"),
+        ("r0", "c.py", "c0", "py", "def"),
+        ("r0", "d.py", "c0", "py", "def solo_fn ( )"),
+        ("r0", "e.py", "c0", "py", long_line),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("content_sha", F.sha2("content", 256))
+    t = build_triples(src, domain="code", mode="rules")
+    rows_out = t.collect()
+    assert len(rows_out) > 0
+    # every path contributes its CONTAINS row even when no mentions
+    contains = {(r["subj"], r["obj"]) for r in rows_out if r["pred"] == "CONTAINS"}
+    assert {("r0", f"r0/{p}") for p in
+            ("a.py", "b.py", "c.py", "d.py", "e.py")} <= contains
+    # the single real definition is found (obj = qualified symbol);
+    # empty/whitespace docs contribute no mention-derived triples
+    defs = [r for r in rows_out if r["pred"] == "DEFINES"]
+    assert any(r["obj"].endswith("::solo_fn") for r in defs)
+    mention_objs = {
+        r["obj"] for r in rows_out if r["pred"] != "CONTAINS"
+    }
+    assert not any("/a.py::" in o or "/b.py::" in o for o in mention_objs)

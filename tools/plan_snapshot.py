@@ -52,6 +52,10 @@ PLAN_QUERIES = [
     "events_time_pruned",
     "kg_entity_temporal",
     "tag_metrics_micro",
+    # rotated ANN compositions: the rotation is a large codegen
+    # projection — pin per_row_python = 0 and the join shapes
+    "ann_topk_opq",
+    "ann_topk_ivf_opq",
 ]
 
 

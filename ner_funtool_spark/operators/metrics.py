@@ -168,17 +168,28 @@ def tag_metrics_tf_macro(pairs: DataFrame, pos_tags=None,
     from the FULL confusion matrix (each class's pred_n counts O-gold
     rows too — unlike tag_metrics' remove_O universe), then an
     UNWEIGHTED mean over pos classes.  ``pairs`` must be built with
-    remove_o=False, exactly as tag_metrics_micro.  One row:
-    (n_classes, precision, recall, fbeta)."""
+    remove_o=False, exactly as tag_metrics_micro.
+
+    Class universe semantics (tf_metrics parity): with explicit
+    ``pos_tags`` the mean runs over EXACTLY those classes — a positive
+    class absent from the data contributes (0, 0, 0), as the
+    reference's fixed pos_indices list does; with pos_tags=None the
+    universe is the observed non-special tags (the label inventory is
+    unknown, so absence cannot be distinguished from non-membership).
+    One row: (n_classes, precision, recall, fbeta)."""
     if pos_tags is None:
         gold_pos = ~F.col("gold").isin("O", "[CLS]", "[SEP]")
         pred_pos = ~F.col("pred").isin("O", "[CLS]", "[SEP]")
+        classes = pairs.filter(gold_pos) \
+            .select(F.col("gold").alias("tag")) \
+            .union(pairs.filter(pred_pos).select(F.col("pred").alias("tag"))) \
+            .distinct()
     else:
         gold_pos = F.col("gold").isin(*[F.lit(t) for t in pos_tags])
         pred_pos = F.col("pred").isin(*[F.lit(t) for t in pos_tags])
-    classes = pairs.filter(gold_pos).select(F.col("gold").alias("tag")) \
-        .union(pairs.filter(pred_pos).select(F.col("pred").alias("tag"))) \
-        .distinct()
+        classes = pairs.sparkSession.createDataFrame(
+            [(t,) for t in pos_tags], "tag string"
+        )
     tp = (
         pairs.filter((F.col("gold") == F.col("pred")) & gold_pos)
         .groupBy(F.col("gold").alias("tag")).agg(F.count("*").alias("tp"))

@@ -492,10 +492,16 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
     restart); empty codes keep their previous centroid.
     """
     spark = embeddings.sparkSession
-    first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     # subspace width follows the DATA and the requested m, not the
-    # module default — m=4 over 64 dims trains 4x16-dim codebooks
-    subdim = len(first[0][vec_col]) // m
+    # module default — m=4 over 64 dims trains 4x16-dim codebooks;
+    # warm starts derive it from the codebooks and skip the cold-init
+    # collect entirely (review finding)
+    if init_codebooks is not None:
+        subdim = len(init_codebooks[0][0])
+    else:
+        subdim = len(
+            embeddings.select(vec_col).first()[vec_col]
+        ) // m
     subs = F.array(*[
         F.struct(F.lit(i).alias("m"),
                  F.slice(F.col(vec_col), i * subdim + 1, subdim).alias("sv"))
@@ -509,6 +515,7 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
         cb = [[list(map(float, code)) for code in sub]
               for sub in init_codebooks]
     else:
+        first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
         cb = [[[float(v) for v in r[vec_col][i * subdim:(i + 1) * subdim]]
                for r in first] for i in range(m)]
     for _ in range(iterations):
@@ -626,12 +633,14 @@ def opq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
     subdim = dim // m
     rot = np.eye(dim)
     emb = embeddings.select(id_col, vec_col).persist()
-    cb = pq_train_codebooks(emb, m=m, k=k, iterations=pq_iterations,
+    # rot starts at identity, so the rotated view IS the corpus —
+    # each loop iteration rotates the corpus exactly ONCE (after the
+    # Procrustes update) and the next iteration reuses it (review
+    # finding: the first cut re-rotated per iteration for nothing)
+    rotated = emb
+    cb = pq_train_codebooks(rotated, m=m, k=k, iterations=pq_iterations,
                             id_col=id_col, vec_col=vec_col)
     for _ in range(iterations):
-        rotated = rotate_embeddings(
-            emb, rot.tolist(), id_col=id_col, vec_col=vec_col
-        ).localCheckpoint(eager=True)
         # reconstruction of each rotated vector from its codes
         enc = pq_encode(rotated, cb, id_col=id_col, vec_col=vec_col)
         cbdf = _pq_codebook_df(spark, cb)

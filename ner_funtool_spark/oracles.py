@@ -1473,7 +1473,8 @@ WP_CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789_"
 
 
 def wordpiece_features_sql(min_freq: int = 10, max_len: int = 64,
-                           word_suffix: str = "") -> str:
+                           word_suffix: str = "",
+                           max_vocab: int = 30_000) -> str:
     """Full SQL re-statement of the WordPiece encode stage
     (operators/wordpiece_stage.py + functions/wordpiece.py, reference
     semantics run_bert_crf.py:340-433): corpus vocab (specials, chars,
@@ -1506,9 +1507,14 @@ words AS (
 ),
 freq AS (
     -- vocab always derives from the ORIGINAL corpus tokens, so a
-    -- non-empty word_suffix forces real multi-char greedy prefixes
-    SELECT word AS tok, count(*) AS cnt FROM words_orig
-    GROUP BY word HAVING count(*) >= {min_freq}
+    -- non-empty word_suffix forces real multi-char greedy prefixes;
+    -- the (cnt desc, tok) LIMIT mirrors corpus_vocab's max_vocab cap
+    -- (the bounded-collect fix) so the two sides cannot diverge on a
+    -- corpus whose frequent-token set exceeds the cap
+    SELECT tok, cnt FROM (
+        SELECT word AS tok, count(*) AS cnt FROM words_orig
+        GROUP BY word HAVING count(*) >= {min_freq}
+        ORDER BY cnt DESC, tok ASC LIMIT {max_vocab})
 ),
 charlist AS (SELECT string_split('{WP_CHARSET}', '') AS cl),
 baselist AS (
@@ -1609,7 +1615,8 @@ JOIN labmap lm ON lm.lab = tr.plab
 
 
 def wordpiece_features_multipiece_sql(min_freq: int = 10,
-                                      max_len: int = 64) -> str:
+                                      max_len: int = 64,
+                                      max_vocab: int = 30_000) -> str:
     """General greedy-longest-match mirror for the DOUBLED-word /
     subword-vocab gate: the vocab adds a multi-char continuation piece
     '##tok' per frequent token (corpus_vocab_with_subwords id order),
@@ -1634,8 +1641,11 @@ words AS (
     SELECT doc_id, word || word AS word, wpos FROM words_orig
 ),
 freq AS (
-    SELECT word AS tok, count(*) AS cnt FROM words_orig
-    GROUP BY word HAVING count(*) >= {min_freq}
+    -- mirrors corpus_vocab's (cnt desc, tok) max_vocab cap
+    SELECT tok, cnt FROM (
+        SELECT word AS tok, count(*) AS cnt FROM words_orig
+        GROUP BY word HAVING count(*) >= {min_freq}
+        ORDER BY cnt DESC, tok ASC LIMIT {max_vocab})
 ),
 charlist AS (SELECT string_split('{WP_CHARSET}', '') AS cl),
 baselist AS (
@@ -1643,15 +1653,15 @@ baselist AS (
            || list_transform(cl, c -> '##' || c) AS bl
     FROM charlist
 ),
-base AS (
+base AS MATERIALIZED (
     SELECT unnest(bl) AS piece, generate_subscripts(bl, 1) - 1 AS id
     FROM baselist
 ),
-freqv AS (
+freqv AS MATERIALIZED (
     SELECT tok, cnt FROM freq
     WHERE tok <> '' AND tok NOT IN (SELECT piece FROM base)
 ),
-vocab0 AS (
+vocab0 AS MATERIALIZED (
     SELECT piece, id FROM base
     UNION ALL
     SELECT tok,
@@ -1659,16 +1669,20 @@ vocab0 AS (
            + row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
     FROM freqv
 ),
-vocab AS (
+vocab AS MATERIALIZED (
     SELECT piece, id FROM vocab0
     UNION ALL
+    -- corpus_vocab_with_subwords skips '##'/'[' -prefixed base tokens
+    -- when minting continuations; mirror those skips exactly
     SELECT '##' || tok,
            (SELECT count(*) FROM vocab0) - 1
            + row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
     FROM freqv
-    WHERE len(tok) >= 2 AND ('##' || tok) NOT IN (SELECT piece FROM vocab0)
+    WHERE len(tok) >= 2
+      AND tok NOT LIKE '##%' AND tok NOT LIKE '[%'
+      AND ('##' || tok) NOT IN (SELECT piece FROM vocab0)
 ),
-dwords AS (SELECT DISTINCT word FROM words),
+dwords AS MATERIALIZED (SELECT DISTINCT word FROM words),
 splits(word, rest, pieces) AS (
     SELECT word, word AS rest, CAST([] AS VARCHAR[]) AS pieces
     FROM dwords WHERE word <> '' AND len(word) <= 200
@@ -1718,7 +1732,7 @@ seqd AS (
            row_number() OVER (PARTITION BY doc_id ORDER BY wpos, k) AS seq
     FROM flat
 ),
-trunc AS (SELECT * FROM seqd WHERE seq <= {max_len} - 2),
+trunc AS MATERIALIZED (SELECT * FROM seqd WHERE seq <= {max_len} - 2),
 nn AS (
     SELECT d.doc_id, count(t.seq) AS n
     FROM documents d LEFT JOIN trunc t USING (doc_id)

@@ -69,30 +69,38 @@ def _list_versions(spark: SparkSession, store_path: str):
 
 
 def latest_committed_version(spark: SparkSession, store_path: str,
-                             below: int | None = None):
-    """Highest committed version number (optionally strictly below
-    ``below``), or None when no committed snapshot exists.  A missing
-    store directory is 'no snapshot'; any OTHER filesystem error
-    propagates (a half-readable store must fail the batch loudly, not
-    silently restart the view from empty)."""
+                             below: int | None = None,
+                             at_least: int | None = None):
+    """Highest committed version number (optionally bounded to
+    ``at_least <= v < below``), or None when no committed snapshot in
+    range exists.  A missing store directory is 'no snapshot'; any
+    OTHER filesystem error propagates (a half-readable store must fail
+    the batch loudly, not silently restart the view from empty)."""
     committed = [
         v for v, ok in _list_versions(spark, store_path)
         if ok and (below is None or v < below)
+        and (at_least is None or v >= at_least)
     ]
     return committed[-1] if committed else None
 
 
 def read_snapshot(spark: SparkSession, store_path: str,
-                  below: int | None = None):
+                  below: int | None = None,
+                  at_least: int | None = None):
     """DataFrame over the latest committed snapshot, or None if the
-    store has never committed.
+    store has never committed (in the requested version range).
 
     Maintenance loops MUST pass ``below=<their own version>``: an
     at-least-once replay of epoch N then merges against the same
     predecessor it saw the first time, instead of reading its own
     committed v{N} output (which would re-create the read-own-output
-    cycle and double-count additive deltas)."""
-    v = latest_committed_version(spark, store_path, below=below)
+    cycle and double-count additive deltas).  Loops whose run REBUILDS
+    the view (checkpoint-less availableNow reprocesses every input
+    file) additionally pass ``at_least=<their run's version base>`` so
+    a previous run's head is never merged twice into the re-derived
+    view."""
+    v = latest_committed_version(spark, store_path, below=below,
+                                 at_least=at_least)
     if v is None:
         return None
     return spark.read.parquet(_version_dir(store_path, v))
@@ -148,6 +156,11 @@ def write_snapshot(df: DataFrame, store_path: str, version: int,
     floor = committed[-keep] if len(committed) >= keep else (
         committed[0] if committed else version
     )
+    # the floor must never exceed the version just written: a writer
+    # committing BELOW existing versions (a fresh checkpoint-less run
+    # would if its base weren't offset; defend anyway) must not have
+    # its own commit pruned out from under it
+    floor = min(floor, version)
     for v, ok in versions:
         if v < floor or not ok:
             fs.delete(

@@ -243,11 +243,45 @@ def stream_mentions(spark: SparkSession, docs_path: str, sink: list,
     return q
 
 
+def _run_foreach_batch(stream: DataFrame, process,
+                       checkpoint_location: str | None):
+    w = stream.writeStream.foreachBatch(process)
+    if checkpoint_location:
+        w = w.option("checkpointLocation", checkpoint_location)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
+
+
+def _version_base(spark: SparkSession, store_path: str,
+                  checkpoint_location: str | None) -> int:
+    """Snapshot-version slot base for one maintenance run.
+
+    WITH a checkpoint, Spark persists the processed-file log AND the
+    epoch counter, so epoch ids are globally unique across invocations
+    and only NEW files process — versions key directly off the epoch
+    (base 0) and a resumed run merges incrementally onto the previous
+    head.  WITHOUT one (one-shot/test mode), a re-run restarts epochs
+    at 0 and REPROCESSES every input file, so the run is a REBUILD:
+    its versions must land strictly above the existing head
+    (base = head + 1) and its reads are floored at the base
+    (read_snapshot at_least=base) so the old head is never merged into
+    the re-derived view — merging would double-apply additive deltas.
+    """
+    if checkpoint_location:
+        return 0
+    from .snapshot import latest_committed_version
+
+    head = latest_committed_version(spark, store_path)
+    return 0 if head is None else head + 1
+
+
 def stream_triples_upsert(spark: SparkSession, docs_path: str,
                           store_path: str,
                           schema: str = "doc_id bigint, text string, "
                                         "lang string, source string, "
-                                        "n_chars bigint") -> int:
+                                        "n_chars bigint",
+                          checkpoint_location: str | None = None) -> int:
     """Incremental KG maintenance under Structured Streaming: every
     micro-batch of documents re-runs the triple pipeline for ITS docs
     and MERGEs the result into the versioned snapshot store with
@@ -278,6 +312,8 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
         .parquet(docs_path)
     )
 
+    base = _version_base(spark, store_path, checkpoint_location)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         inc = (
             build_triples(documents_as_source(batch_df),
@@ -285,13 +321,14 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
             .select(*cols).distinct()
             .withColumn("commit", F.format_string("e%05d", F.lit(epoch_id)))
         )
-        existing = read_snapshot(spark, store_path, below=epoch_id)
+        existing = read_snapshot(spark, store_path, below=base + epoch_id,
+                                 at_least=base if not checkpoint_location
+                                 else None)
         merged = upsert_triples(existing, inc) if existing is not None else inc
-        write_snapshot(merged, store_path, epoch_id)
+        write_snapshot(merged, store_path, base + epoch_id)
         n_batches[0] += 1
 
-    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
-    q.awaitTermination()
+    _run_foreach_batch(stream, process, checkpoint_location)
     return n_batches[0]
 
 
@@ -299,7 +336,8 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
                        store_path: str,
                        schema: str = "doc_id bigint, text string, "
                                      "lang string, source string, "
-                                     "n_chars bigint") -> int:
+                                     "n_chars bigint",
+                       checkpoint_location: str | None = None) -> int:
     """Incremental view maintenance (IVM) of the node-degree view under
     Structured Streaming: each micro-batch contributes only its DELTA
     (per-node edge counts from ITS documents' triples), which is
@@ -330,6 +368,8 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
         .parquet(docs_path)
     )
 
+    base = _version_base(spark, store_path, checkpoint_location)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         t = build_triples(documents_as_source(batch_df),
                           domain="doc", mode="rules")
@@ -338,21 +378,22 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
             .union(t.select(F.col("obj").alias("node")))
             .groupBy("node").agg(F.count("*").alias("deg"))
         )
-        existing = read_snapshot(spark, store_path, below=epoch_id)
+        existing = read_snapshot(spark, store_path, below=base + epoch_id,
+                                 at_least=base if not checkpoint_location
+                                 else None)
         if existing is not None:
             merged = (
                 existing.unionByName(delta)
                 .groupBy("node").agg(F.sum("deg").cast("bigint").alias("deg"))
             )
-        else:  # genuinely no committed snapshot yet
+        else:  # genuinely no committed snapshot yet (in this run's range)
             merged = delta.select(
                 "node", F.col("deg").cast("bigint").alias("deg")
             )
-        write_snapshot(merged, store_path, epoch_id)
+        write_snapshot(merged, store_path, base + epoch_id)
         n_batches[0] += 1
 
-    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
-    q.awaitTermination()
+    _run_foreach_batch(stream, process, checkpoint_location)
     return n_batches[0]
 
 
@@ -361,7 +402,8 @@ def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
                         tol: float = 1e-9, damping: float = 0.85,
                         schema: str = "doc_id bigint, text string, "
                                       "lang string, source string, "
-                                      "n_chars bigint") -> list:
+                                      "n_chars bigint",
+                        checkpoint_location: str | None = None) -> list:
     """Incremental PageRank maintenance under Structured Streaming —
     the IVM pattern extended from additive degree counts to a
     fixed-point computation.
@@ -391,25 +433,30 @@ def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
         .parquet(docs_path)
     )
 
+    base = _version_base(spark, edges_store, checkpoint_location)
+    lo = None if checkpoint_location else base
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        v = base + epoch_id
         t = build_triples(documents_as_source(batch_df),
                           domain="doc", mode="rules")
         delta = t.select(F.col("subj").alias("src"),
                          F.col("obj").alias("dst")).distinct()
-        prev_e = read_snapshot(spark, edges_store, below=epoch_id)
+        prev_e = read_snapshot(spark, edges_store, below=v, at_least=lo)
         edges = prev_e.unionByName(delta).distinct() if prev_e is not None \
             else delta
-        write_snapshot(edges, edges_store, epoch_id)
-        prev_r = read_snapshot(spark, ranks_store, below=epoch_id)
+        write_snapshot(edges, edges_store, v)
+        # the previous RANK vector only warm-starts; reading an older
+        # run's ranks is always safe (any init converges)
+        prev_r = read_snapshot(spark, ranks_store, below=v)
         ranks, n_rounds = pagerank_converged(
-            read_snapshot(spark, edges_store, below=epoch_id + 1),
+            read_snapshot(spark, edges_store, below=v + 1, at_least=lo),
             tol=tol, damping=damping, init_ranks=prev_r,
         )
-        write_snapshot(ranks, ranks_store, epoch_id)
+        write_snapshot(ranks, ranks_store, v)
         rounds_log.append((epoch_id, n_rounds))
 
-    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
-    q.awaitTermination()
+    _run_foreach_batch(stream, process, checkpoint_location)
     return rounds_log
 
 
@@ -417,7 +464,8 @@ def stream_comention_ivm(spark: SparkSession, docs_path: str,
                          store_path: str,
                          schema: str = "doc_id bigint, text string, "
                                        "lang string, source string, "
-                                       "n_chars bigint") -> int:
+                                       "n_chars bigint",
+                         checkpoint_location: str | None = None) -> int:
     """Incremental maintenance of the co-mention edge view (the input
     of the PMI / LPA / k-core analytics tier): each micro-batch
     contributes the (a, b, n_docs) pairs of ITS documents, merged
@@ -444,11 +492,15 @@ def stream_comention_ivm(spark: SparkSession, docs_path: str,
         .parquet(docs_path)
     )
 
+    base = _version_base(spark, store_path, checkpoint_location)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         m = detect_mentions(documents_as_source(batch_df),
                             domain="doc", mode="rules")
         delta = comention_edges(m)
-        existing = read_snapshot(spark, store_path, below=epoch_id)
+        existing = read_snapshot(spark, store_path, below=base + epoch_id,
+                                 at_least=base if not checkpoint_location
+                                 else None)
         if existing is not None:
             merged = (
                 existing.unionByName(delta)
@@ -457,9 +509,8 @@ def stream_comention_ivm(spark: SparkSession, docs_path: str,
             )
         else:
             merged = delta
-        write_snapshot(merged, store_path, epoch_id)
+        write_snapshot(merged, store_path, base + epoch_id)
         n_batches[0] += 1
 
-    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
-    q.awaitTermination()
+    _run_foreach_batch(stream, process, checkpoint_location)
     return n_batches[0]

@@ -520,3 +520,59 @@ def test_compact_snapshot_preserves_rows_and_advances_head(spark, tmp_path):
     got = read_snapshot(spark, store)
     assert got.count() == 5000
     assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+
+def test_degrees_ivm_across_invocations(spark, tmp_path):
+    """Cross-run semantics of the maintenance loops (review finding):
+    WITH a checkpoint, a second invocation processes only NEW files
+    and merges incrementally onto the previous head; WITHOUT one, a
+    re-run rebuilds the view above the old head — in both cases the
+    final store equals the batch recompute, never a partial or
+    double-counted view."""
+    from ner_funtool_spark.plans.kg import build_triples, documents_as_source
+    from ner_funtool_spark.streaming.snapshot import read_snapshot
+    from ner_funtool_spark.streaming.stream import stream_degrees_ivm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def batch_degrees(d):
+        t = build_triples(documents_as_source(d), domain="doc", mode="rules")
+        return {
+            r["node"]: r["deg"]
+            for r in t.select(F.col("subj").alias("node"))
+            .union(t.select(F.col("obj").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg")).collect()
+        }
+
+    # --- checkpointed: resume processes ONLY the new file ---
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    for i in range(2):
+        (docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+    store = str(tmp_path / "ckpt_store")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = stream_degrees_ivm(spark, f"{src}/*", store,
+                            checkpoint_location=ckpt)
+    assert n1 == 2
+    (docs.filter(F.col("doc_id") % 3 == 2).coalesce(1)
+     .write.parquet(str(src / "b2")))
+    n2 = stream_degrees_ivm(spark, f"{src}/*", store,
+                            checkpoint_location=ckpt)
+    assert n2 == 1  # only the new file
+    got = {r["node"]: r["deg"] for r in read_snapshot(spark, store).collect()}
+    assert got == batch_degrees(docs)
+
+    # --- checkpoint-less: a re-run REBUILDS (no double counting) ---
+    src2 = tmp_path / "plain_src"
+    src2.mkdir()
+    (docs.filter(F.col("doc_id") % 3 == 0).coalesce(1)
+     .write.parquet(str(src2 / "b0")))
+    store2 = str(tmp_path / "plain_store")
+    stream_degrees_ivm(spark, f"{src2}/*", store2)
+    (docs.filter(F.col("doc_id") % 3 == 1).coalesce(1)
+     .write.parquet(str(src2 / "b1")))
+    stream_degrees_ivm(spark, f"{src2}/*", store2)  # reprocesses BOTH files
+    got2 = {r["node"]: r["deg"] for r in read_snapshot(spark, store2).collect()}
+    want2 = batch_degrees(docs.filter(F.col("doc_id") % 3 != 2))
+    assert got2 == want2

@@ -1225,16 +1225,13 @@ def _q_kg_two_hop(spark, sf_dir):
     return two_hop(t, max_mid_degree=TWO_HOP_MID_CAP)
 
 
-def _q_kg_two_hop_store(spark, sf_dir):
-    """kg_two_hop served from the dual SPO/OPS bucketed store
-    (sources/store.py): both 2-hop join inputs read the index bucketed
-    on their join key, so the m-keyed join and the hub-cap filter plan
-    with no Exchange (asserted in tests/test_store.py).  Same oracle as
-    kg_two_hop — the layout must not change a single row."""
+def _dual_triple_indexes(spark, sf_dir):
+    """Stage the KEY-UNIQUE triple set as the dual SPO/OPS bucketed
+    indexes for this sf (overwritten per call — the queries stay
+    self-contained); returns the two table names."""
     import re as _re
 
     from ner_funtool_spark.sources.store import (
-        two_hop_from_store,
         write_triples_bucketed,
         write_triples_bucketed_by_obj,
     )
@@ -1251,8 +1248,32 @@ def _q_kg_two_hop_store(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {ops}")
     write_triples_bucketed(t, spo, f"{base}/spo")
     write_triples_bucketed_by_obj(t, ops, f"{base}/ops")
+    return spo, ops
+
+
+def _q_kg_two_hop_store(spark, sf_dir):
+    """kg_two_hop served from the dual SPO/OPS bucketed store
+    (sources/store.py): both 2-hop join inputs read the index bucketed
+    on their join key, so the m-keyed join and the hub-cap filter plan
+    with no Exchange (asserted in tests/test_store.py).  Same oracle as
+    kg_two_hop — the layout must not change a single row."""
+    from ner_funtool_spark.sources.store import two_hop_from_store
+
+    spo, ops = _dual_triple_indexes(spark, sf_dir)
     return two_hop_from_store(spark, spo, ops,
                               max_mid_degree=TWO_HOP_MID_CAP)
+
+
+def _q_kg_degrees_store(spark, sf_dir):
+    """The complete degree view over the key-unique triple set from
+    the dual indexes — out-degrees from SPO, in-degrees from OPS, a
+    co-located full-outer merge: ZERO Exchange in the whole plan
+    (tests/test_store.py); the oracle recomputes from the distinct
+    triple set."""
+    from ner_funtool_spark.sources.store import degrees_from_store
+
+    spo, ops = _dual_triple_indexes(spark, sf_dir)
+    return degrees_from_store(spark, spo, ops)
 
 
 def _q_kg_comention_pmi(spark, sf_dir):
@@ -1579,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_keyed": _q_asof_join_keyed,
         "kg_two_hop": _q_kg_two_hop,
         "kg_two_hop_store": _q_kg_two_hop_store,
+        "kg_degrees_store": _q_kg_degrees_store,
         "kg_pagerank_inc_invariants": _q_kg_pagerank_inc_invariants,
         "kg_entity_temporal": _q_kg_entity_temporal,
         "events_time_pruned": _q_events_time_pruned,
@@ -1685,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_invariants": oracles.ann_ivf_trained_invariants_sql(),
         "kg_two_hop": oracles.kg_two_hop_sql(TWO_HOP_MID_CAP),
         "kg_two_hop_store": oracles.kg_two_hop_sql(TWO_HOP_MID_CAP),
+        "kg_degrees_store": oracles.kg_degrees_store_sql(),
         "kg_pagerank_inc_invariants": oracles.pagerank_inc_invariants_sql(),
         "kg_entity_temporal": oracles.kg_entity_temporal_sql(),
         "events_time_pruned": oracles.events_time_pruned_sql(),

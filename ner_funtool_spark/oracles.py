@@ -1683,35 +1683,44 @@ vocab AS MATERIALIZED (
       AND ('##' || tok) NOT IN (SELECT piece FROM vocab0)
 ),
 dwords AS MATERIALIZED (SELECT DISTINCT word FROM words),
-splits(word, rest, pieces) AS (
-    SELECT word, word AS rest, CAST([] AS VARCHAR[]) AS pieces
+-- longest vocab match per (word, start position), precomputed OUTSIDE
+-- the recursion: a correlated aggregate inside a recursive term
+-- evaluated nondeterministically across DuckDB connections (observed
+-- flipping most words to [UNK]); with lm materialized, the recursive
+-- step is a plain equi-join — deterministic by construction
+poslist AS (
+    SELECT word, unnest(range(1, len(word) + 1)) AS pos
+    FROM dwords WHERE word <> '' AND len(word) <= 200
+),
+lm AS MATERIALIZED (
+    SELECT p.word, p.pos,
+           max(CASE WHEN p.pos = 1 THEN len(v.piece)
+                    ELSE len(v.piece) - 2 END) AS flen
+    FROM poslist p JOIN vocab v
+      ON (p.pos = 1 AND v.piece NOT LIKE '##%'
+          AND v.piece = substr(p.word, 1, len(v.piece)))
+      OR (p.pos > 1 AND v.piece LIKE '##%' AND len(v.piece) > 2
+          AND substr(v.piece, 3) = substr(p.word, p.pos, len(v.piece) - 2))
+    GROUP BY p.word, p.pos
+),
+splits(word, pos, pieces) AS (
+    SELECT word, 1, CAST([] AS VARCHAR[])
     FROM dwords WHERE word <> '' AND len(word) <= 200
   UNION ALL
-    SELECT word, substr(rest, fl + 1),
-           list_append(pieces,
-             CASE WHEN len(pieces) = 0 THEN substr(rest, 1, fl)
-                  ELSE '##' || substr(rest, 1, fl) END)
-    FROM (
-      SELECT s.word, s.rest, s.pieces,
-             (SELECT max(CASE WHEN len(s.pieces) = 0 THEN len(v.piece)
-                              ELSE len(v.piece) - 2 END)
-              FROM vocab v
-              WHERE (len(s.pieces) = 0
-                     AND v.piece NOT LIKE '##%'
-                     AND v.piece = substr(s.rest, 1, len(v.piece)))
-                 OR (len(s.pieces) > 0 AND v.piece LIKE '##%'
-                     AND len(v.piece) > 2
-                     AND substr(v.piece, 3) =
-                         substr(s.rest, 1, len(v.piece) - 2))) AS fl
-      FROM splits s WHERE s.rest <> ''
-    ) WHERE fl IS NOT NULL AND fl >= 1
+    SELECT s.word, s.pos + l.flen,
+           list_append(s.pieces,
+             CASE WHEN s.pos = 1 THEN substr(s.word, 1, l.flen)
+                  ELSE '##' || substr(s.word, s.pos, l.flen) END)
+    FROM splits s JOIN lm l ON l.word = s.word AND l.pos = s.pos
+    WHERE s.pos <= len(s.word)
 ),
 wpieces AS (
     SELECT d.word,
       CASE WHEN d.word = '' THEN CAST([] AS VARCHAR[])
            ELSE COALESCE(c.pieces, ['[UNK]']) END AS pieces
     FROM dwords d
-    LEFT JOIN (SELECT word, pieces FROM splits WHERE rest = '') c
+    LEFT JOIN (SELECT word, pieces FROM splits
+               WHERE pos = len(word) + 1) c
       USING (word)
 ),
 doc_pieces AS (
@@ -2301,6 +2310,40 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, adist, rank::INT AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def kg_degrees_store_sql() -> str:
+    """Degree view over the DISTINCT (subj, pred, obj) triple set —
+    the store contract (key-unique rows): out/in counts full-outer
+    merged per node."""
+    return f"""
+WITH {doc_mentions_cte()},
+doc_sha AS (
+    SELECT 'docs/' || doc_id || '.txt' AS path, source AS repo,
+           sha256(text) AS content_sha
+    FROM documents
+),
+trip AS (
+    SELECT DISTINCT subj, pred, obj FROM (
+        SELECT m.repo || '/' || m.path AS subj,
+               CASE m.etype WHEN 'op' THEN 'MENTIONS_OP'
+                    ELSE 'MENTIONS_OBJ' END AS pred,
+               m.text AS obj
+        FROM mention_rows m
+        UNION ALL
+        SELECT repo AS subj, 'CONTAINS' AS pred,
+               repo || '/' || path AS obj
+        FROM doc_sha
+    )
+),
+outd AS (SELECT subj AS node, count(*) AS out_deg FROM trip GROUP BY 1),
+ind AS (SELECT obj AS node, count(*) AS in_deg FROM trip GROUP BY 1)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(o.out_deg, 0)::BIGINT AS out_deg,
+       COALESCE(i.in_deg, 0)::BIGINT AS in_deg,
+       (COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0))::BIGINT AS deg
+FROM outd o FULL JOIN ind i ON o.node = i.node
 """
 
 

@@ -110,6 +110,35 @@ def two_hop_from_store(spark: SparkSession, spo_table: str, ops_table: str,
     )
 
 
+def degrees_from_store(spark: SparkSession, spo_table: str,
+                       ops_table: str) -> DataFrame:
+    """The complete degree view (node, out_deg, in_deg, deg) over the
+    key-unique triple set, served ENTIRELY from the dual indexes: the
+    out-degree aggregation reads the SPO index (bucketed on subj), the
+    in-degree aggregation the OPS index (bucketed on obj), and the
+    full-outer merge joins two frames already hash-partitioned on the
+    same node key with the same bucket count — the whole plan holds
+    ZERO Exchange (asserted in tests/test_store.py).  At store scale
+    this is the difference between three shuffles of the triple table
+    and none."""
+    out_d = spark.table(spo_table).groupBy(
+        F.col("subj").alias("node")
+    ).agg(F.count("*").alias("out_deg"))
+    in_d = spark.table(ops_table).groupBy(
+        F.col("obj").alias("node")
+    ).agg(F.count("*").alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .fillna(0, subset=["out_deg", "in_deg"])
+        .select(
+            "node",
+            F.col("out_deg").cast("bigint").alias("out_deg"),
+            F.col("in_deg").cast("bigint").alias("in_deg"),
+            (F.col("out_deg") + F.col("in_deg")).cast("bigint").alias("deg"),
+        )
+    )
+
+
 def subj_degrees_from_store(spark: SparkSession, table: str) -> DataFrame:
     """Out-degree per subject read from the bucketed store: the scan's
     bucket distribution satisfies the aggregation's requirement, so the

@@ -155,3 +155,52 @@ def test_two_hop_from_store_is_colocated_and_exact(store):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql(f"DROP TABLE IF EXISTS {spo_table}")
             spark.sql(f"DROP TABLE IF EXISTS {ops_table}")
+
+
+def test_degrees_from_store_dual_index_zero_exchange(store):
+    """Full degree view (out from SPO, in from OPS, co-located
+    full-outer merge): the ENTIRE plan holds zero Exchange, and values
+    equal the direct computation over the distinct triple set."""
+    import tempfile
+
+    from ner_funtool_spark.sources.store import (
+        degrees_from_store,
+        write_triples_bucketed,
+        write_triples_bucketed_by_obj,
+    )
+
+    spark, triples = store
+    t = triples.select("subj", "pred", "obj").distinct()
+    spo_table, ops_table = TABLE + "_dspo", TABLE + "_dops"
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.sql(f"DROP TABLE IF EXISTS {spo_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {ops_table}")
+        write_triples_bucketed(t, spo_table, f"{tmp}/spo", n_buckets=8)
+        write_triples_bucketed_by_obj(t, ops_table, f"{tmp}/ops", n_buckets=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            deg = degrees_from_store(spark, spo_table, ops_table)
+            plan = _physical(deg)
+            assert "Exchange" not in plan, plan[:2000]
+            got = {
+                r["node"]: (r["out_deg"], r["in_deg"], r["deg"])
+                for r in deg.collect()
+            }
+            from pyspark.sql import functions as F  # noqa: F811
+
+            out_d = t.groupBy(F.col("subj").alias("node")).agg(
+                F.count("*").alias("o"))
+            in_d = t.groupBy(F.col("obj").alias("node")).agg(
+                F.count("*").alias("i"))
+            want = {
+                r["node"]: (r["o"] or 0, r["i"] or 0,
+                            (r["o"] or 0) + (r["i"] or 0))
+                for r in out_d.join(in_d, "node", "full_outer")
+                .fillna(0).collect()
+            }
+            assert got == want and len(want) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql(f"DROP TABLE IF EXISTS {spo_table}")
+            spark.sql(f"DROP TABLE IF EXISTS {ops_table}")

@@ -56,6 +56,7 @@ PLAN_QUERIES = [
     # projection — pin per_row_python = 0 and the join shapes
     "ann_topk_opq",
     "ann_topk_ivf_opq",
+    "kg_degrees_store",
 ]
 
 

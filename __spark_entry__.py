@@ -950,9 +950,13 @@ def _q_events_time_pruned(spark, sf_dir):
         write_events_range_partitioned,
     )
 
+    import os as _os
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # staging path suffixed by PID: two concurrent processes (driver_sim
+    # while bench runs) must not overwrite each other's layout mid-read
     tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
-    path = f"/tmp/nfs_events_bydate{tag}"
+    path = f"/tmp/nfs_events_bydate{tag}_p{_os.getpid()}"
     write_events_range_partitioned(ev, path)
     mn = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
     w = events_in_window(spark, path, mn + _dt.timedelta(days=1),
@@ -1059,9 +1063,16 @@ def _q_kg_pagerank_inc_invariants(spark, sf_dir):
         F.coalesce(F.col("pr_w"), F.lit(-1.0)).alias("value"),
         F.coalesce(F.col("pr_c"), F.lit(-1.0)).alias("baseline"),
     )
+    # gate: nodelta_rounds <= min(2, cold_rounds).  On a degenerate
+    # graph whose cold start already converges in <= 2 rounds (tiny or
+    # empty edge set at small sfs) the strict `< cold_rounds` form
+    # would fire spuriously even though nothing is wrong (ADVICE r4);
+    # when cold needs > 2 rounds the relaxed form still implies the
+    # strict IVM claim nodelta < cold.
+    rounds_ok = nodelta_rounds <= min(2, cold_rounds)
     rounds_viol = (
         spark.range(1)
-        .filter(F.lit(not (nodelta_rounds <= 2 < cold_rounds)))
+        .filter(F.lit(not rounds_ok))
         .select(
             F.lit("nodelta_rounds_le_2_lt_cold").alias("invariant"),
             F.lit(float(nodelta_rounds)).alias("value"),
@@ -1229,6 +1240,7 @@ def _dual_triple_indexes(spark, sf_dir):
     """Stage the KEY-UNIQUE triple set as the dual SPO/OPS bucketed
     indexes for this sf (overwritten per call — the queries stay
     self-contained); returns the two table names."""
+    import os as _os
     import re as _re
 
     from ner_funtool_spark.sources.store import (
@@ -1241,7 +1253,11 @@ def _dual_triple_indexes(spark, sf_dir):
         build_triples(src, domain="doc", mode="rules")
         .select("subj", "pred", "obj").distinct()
     )
-    tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    # table names + staging path are per-PID: the Spark-SQL catalog and
+    # /tmp are shared across processes, and a concurrent driver_sim /
+    # bench pair overwriting one table mid-read yields spurious
+    # mismatches (ADVICE r4)
+    tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/")) + f"_p{_os.getpid()}"
     spo, ops = f"twohop_spo{tag}", f"twohop_ops{tag}"
     base = f"/tmp/nfs_twohop_store{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {spo}")

@@ -172,9 +172,16 @@ def tag_metrics_micro_sql() -> str:
     return f"""
 WITH {_pairs_cte(remove_o=False)},
 counts AS (
-  SELECT sum(CASE WHEN gold <> 'O' AND gold = pred THEN 1 ELSE 0 END)::BIGINT AS tp,
-         sum(CASE WHEN gold <> 'O' THEN 1 ELSE 0 END)::BIGINT AS gold_n,
-         sum(CASE WHEN pred <> 'O' THEN 1 ELSE 0 END)::BIGINT AS pred_n
+  -- mirror the FULL Spark positive-class condition (metrics.py
+  -- tag_metrics_micro pos_tags=None): NOT IN ('O','[CLS]','[SEP]').
+  -- Equivalent today (doc_tag_pairs emits no special tags) but latent
+  -- divergence if they ever enter the pair set (ADVICE r4).
+  SELECT sum(CASE WHEN gold NOT IN ('O', '[CLS]', '[SEP]')
+                   AND gold = pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN gold NOT IN ('O', '[CLS]', '[SEP]')
+             THEN 1 ELSE 0 END)::BIGINT AS gold_n,
+         sum(CASE WHEN pred NOT IN ('O', '[CLS]', '[SEP]')
+             THEN 1 ELSE 0 END)::BIGINT AS pred_n
   FROM pr
 ),
 pr2 AS (
@@ -200,12 +207,15 @@ def tag_metrics_tf_macro_sql(beta: float = 1.0) -> str:
     return f"""
 WITH {_pairs_cte(remove_o=False)},
 classes AS (
+  -- full Spark positive condition mirrored: NOT IN ('O','[CLS]','[SEP]')
   SELECT DISTINCT tag FROM (
-    SELECT gold AS tag FROM pr WHERE gold <> 'O'
-    UNION ALL SELECT pred FROM pr WHERE pred <> 'O')
+    SELECT gold AS tag FROM pr WHERE gold NOT IN ('O', '[CLS]', '[SEP]')
+    UNION ALL
+    SELECT pred FROM pr WHERE pred NOT IN ('O', '[CLS]', '[SEP]'))
 ),
 tp AS (SELECT gold AS tag, count(*) AS tp FROM pr
-       WHERE gold = pred AND gold <> 'O' GROUP BY 1),
+       WHERE gold = pred
+         AND gold NOT IN ('O', '[CLS]', '[SEP]') GROUP BY 1),
 pn AS (SELECT pred AS tag, count(*) AS pred_n FROM pr GROUP BY 1),
 gn AS (SELECT gold AS tag, count(*) AS gold_n FROM pr GROUP BY 1),
 per AS (

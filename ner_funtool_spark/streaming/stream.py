@@ -267,13 +267,45 @@ def _version_base(spark: SparkSession, store_path: str,
     (base = head + 1) and its reads are floored at the base
     (read_snapshot at_least=base) so the old head is never merged into
     the re-derived view — merging would double-apply additive deltas.
+
+    Store-checkpoint PAIRING contract (enforced loudly): a checkpointed
+    run against a store that already has committed versions but whose
+    checkpoint has no progress yet can only mean the store was
+    populated by a DIFFERENT run (e.g. a checkpoint-less rebuild) —
+    its fresh epochs would restart at 0 while read_snapshot(below=N)
+    picks up the stale head for every epoch >= head, double-merging
+    additive deltas.  That mismatch raises instead of corrupting the
+    view: pair a checkpointed stream with the store it built, or start
+    it on a fresh store.
     """
-    if checkpoint_location:
-        return 0
     from .snapshot import latest_committed_version
+
+    if checkpoint_location:
+        head = latest_committed_version(spark, store_path)
+        if head is not None and not _checkpoint_has_progress(
+            spark, checkpoint_location
+        ):
+            raise ValueError(
+                f"store {store_path!r} already holds committed version "
+                f"v{head} but checkpoint {checkpoint_location!r} has no "
+                "progress: the store was populated by a different "
+                "(checkpoint-less rebuild?) run. Resume with the store's "
+                "original checkpoint, or use a fresh store."
+            )
+        return 0
 
     head = latest_committed_version(spark, store_path)
     return 0 if head is None else head + 1
+
+
+def _checkpoint_has_progress(spark: SparkSession,
+                             checkpoint_location: str) -> bool:
+    """True iff the checkpoint has recorded at least one batch offset
+    (i.e. this is a RESUME of the stream that built the store)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_location}/offsets")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
 
 
 def stream_triples_upsert(spark: SparkSession, docs_path: str,
@@ -288,20 +320,24 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
     upsert_triples — the streaming shape of the north_star's resumable
     maintenance loop.
 
-    Each batch reads the latest committed snapshot BELOW its own epoch
-    and writes the merged view to ``store/v{epoch}`` as a fully
-    distributed job (snapshot.write_snapshot) — nothing round-trips the
-    driver, so per-batch driver cost is O(1) regardless of store size.
-    The _SUCCESS marker commits the version atomically; an at-least-once
-    replay of an epoch re-merges against the same predecessor and
-    rewrites the same version, so the loop is idempotent.  With an
-    Iceberg/Delta store the same ``upsert_triples`` plan compiles to a
-    partial MERGE (only matched buckets rewrite, operators/triples.py
-    salting).  Returns the number of micro-batches processed.
+    Each batch persists ONLY its delta (the batch's triples, the
+    touched-key set of the MERGE) via snapshot.write_delta — per-batch
+    write cost is O(batch), not O(store) (the r4-verdict scale fix: a
+    0.1 % batch against a 100 TB store writes ~100 GB, not 100 TB).
+    Readers resolve MERGE-INTO semantics through the manifest's
+    ``upsert`` merge spec (latest commit wins per (subj, pred, obj) —
+    associative max-struct, so the read-side fold equals the iterated
+    per-batch upsert_triples exactly); write_delta auto-compacts once
+    the chain reaches max_chain, bounding read amplification.  The
+    manifest commit is atomic; an at-least-once replay of an epoch
+    resolves the same predecessor chain and rewrites the same version
+    slot, so the loop is idempotent.  With an Iceberg/Delta store this
+    is literally MERGE INTO + snapshot expiration.  Returns the number
+    of micro-batches processed.
     """
-    from ..operators.upsert import upsert_triples
+    from ..operators.upsert import TRIPLE_KEY
     from ..plans.kg import build_triples, documents_as_source
-    from .snapshot import read_snapshot, write_snapshot
+    from .snapshot import write_delta
 
     cols = ["subj", "pred", "obj", "repo", "content_sha"]
     n_batches = [0]
@@ -313,6 +349,7 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
     )
 
     base = _version_base(spark, store_path, checkpoint_location)
+    lo = None if checkpoint_location else base
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         inc = (
@@ -321,11 +358,12 @@ def stream_triples_upsert(spark: SparkSession, docs_path: str,
             .select(*cols).distinct()
             .withColumn("commit", F.format_string("e%05d", F.lit(epoch_id)))
         )
-        existing = read_snapshot(spark, store_path, below=base + epoch_id,
-                                 at_least=base if not checkpoint_location
-                                 else None)
-        merged = upsert_triples(existing, inc) if existing is not None else inc
-        write_snapshot(merged, store_path, base + epoch_id)
+        write_delta(
+            inc, store_path, base + epoch_id,
+            merge={"kind": "upsert", "keys": list(TRIPLE_KEY),
+                   "version_col": "commit"},
+            at_least=lo,
+        )
         n_batches[0] += 1
 
     _run_foreach_batch(stream, process, checkpoint_location)
@@ -346,20 +384,19 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
 
     This is the maintenance pattern that matters at 100 TB: the batch
     recompute scans the whole triples table per refresh, while the IVM
-    loop reads only the previous snapshot and the batch's delta, and
-    its merge shuffles only on the degree key.  The merged view is
-    written to ``store/v{epoch}`` as a distributed job (no driver
-    materialization); a replayed epoch re-merges against the same
-    predecessor snapshot (``below=epoch_id``), so additive counts are
-    never double-applied.  A read failure on an EXISTING committed
-    snapshot propagates and fails the batch — it is never treated as
-    "first batch" (that would silently discard the accumulated view).
-    Counts are additive, so the final store equals the batch-computed
-    degrees exactly (asserted e2e in tests).  Returns the number of
-    micro-batches processed.
+    loop writes ONLY the batch's per-node count delta
+    (snapshot.write_delta, merge='additive') — per-batch I/O follows
+    the batch's documents, never the corpus OR the store.  Readers
+    fold base + deltas with groupBy(node).sum(deg) (sum is
+    associative, so the fold equals the iterated merge exactly);
+    chains auto-compact at max_chain.  A replayed epoch resolves the
+    same predecessor chain (``below=epoch``), so additive counts are
+    never double-applied.  Counts are additive, so the final store
+    equals the batch-computed degrees exactly (asserted e2e in tests).
+    Returns the number of micro-batches processed.
     """
     from ..plans.kg import build_triples, documents_as_source
-    from .snapshot import read_snapshot, write_snapshot
+    from .snapshot import write_delta
 
     n_batches = [0]
     stream = (
@@ -369,6 +406,7 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
     )
 
     base = _version_base(spark, store_path, checkpoint_location)
+    lo = None if checkpoint_location else base
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         t = build_triples(documents_as_source(batch_df),
@@ -376,21 +414,13 @@ def stream_degrees_ivm(spark: SparkSession, docs_path: str,
         delta = (
             t.select(F.col("subj").alias("node"))
             .union(t.select(F.col("obj").alias("node")))
-            .groupBy("node").agg(F.count("*").alias("deg"))
+            .groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
         )
-        existing = read_snapshot(spark, store_path, below=base + epoch_id,
-                                 at_least=base if not checkpoint_location
-                                 else None)
-        if existing is not None:
-            merged = (
-                existing.unionByName(delta)
-                .groupBy("node").agg(F.sum("deg").cast("bigint").alias("deg"))
-            )
-        else:  # genuinely no committed snapshot yet (in this run's range)
-            merged = delta.select(
-                "node", F.col("deg").cast("bigint").alias("deg")
-            )
-        write_snapshot(merged, store_path, base + epoch_id)
+        write_delta(
+            delta, store_path, base + epoch_id,
+            merge={"kind": "additive", "keys": ["node"], "sums": ["deg"]},
+            at_least=lo,
+        )
         n_batches[0] += 1
 
     _run_foreach_batch(stream, process, checkpoint_location)
@@ -409,14 +439,18 @@ def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
     fixed-point computation.
 
     Per micro-batch: (1) the batch's triples contribute DELTA edges,
-    merged (distinct union) into the versioned edge snapshot store;
-    (2) PageRank re-converges over the merged edge set WARM-STARTED
-    from the previous rank snapshot (pagerank_converged: the update is
-    an L1 contraction, so the warm start reaches the same unique fixed
-    point in far fewer rounds than a cold start — that round saving is
-    the IVM win, returned per batch); (3) both stores advance via
-    distributed snapshot writes (no driver materialization; replays
-    re-read the predecessor via below=epoch).
+    persisted as a delta version of the edge snapshot store
+    (write_delta, merge='distinct' — O(batch) write, readers fold the
+    chain with set union); (2) PageRank re-converges over the merged
+    edge set WARM-STARTED from the previous rank snapshot
+    (pagerank_converged: the update is an L1 contraction, so the warm
+    start reaches the same unique fixed point in far fewer rounds than
+    a cold start — that round saving is the IVM win, returned per
+    batch); (3) the RANK store advances via full snapshot writes by
+    design: a fixed point is a function of the whole edge set, not a
+    mergeable per-batch contribution, so O(nodes) per refresh is the
+    honest floor (and the rank vector is ~node-count-sized, orders
+    smaller than the edge/triple stores).
 
     Returns [(epoch, n_rounds), ...] — the e2e test asserts the final
     ranks equal the batch computation AND that warm-started batches
@@ -424,7 +458,7 @@ def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
     """
     from ..operators.graph import pagerank_converged
     from ..plans.kg import build_triples, documents_as_source
-    from .snapshot import read_snapshot, write_snapshot
+    from .snapshot import read_snapshot, write_delta, write_snapshot
 
     rounds_log: list = []
     stream = (
@@ -442,10 +476,8 @@ def stream_pagerank_ivm(spark: SparkSession, docs_path: str,
                           domain="doc", mode="rules")
         delta = t.select(F.col("subj").alias("src"),
                          F.col("obj").alias("dst")).distinct()
-        prev_e = read_snapshot(spark, edges_store, below=v, at_least=lo)
-        edges = prev_e.unionByName(delta).distinct() if prev_e is not None \
-            else delta
-        write_snapshot(edges, edges_store, v)
+        write_delta(delta, edges_store, v, merge={"kind": "distinct"},
+                    at_least=lo)
         # the previous RANK vector only warm-starts; reading an older
         # run's ranks is always safe (any init converges)
         prev_r = read_snapshot(spark, ranks_store, below=v)
@@ -474,16 +506,19 @@ def stream_comention_ivm(spark: SparkSession, docs_path: str,
     Additivity holds because co-mention pairs are PER-DOCUMENT
     (operators/graph.comention_edges joins entities within one doc)
     and a document belongs to exactly one batch — so the maintained
-    view equals the batch computation exactly (e2e test).  This is how
-    the graph analytics stay current at ingest rates: the per-batch
-    cost is bounded by the batch's documents, never the corpus, and
-    the downstream analytics (comention_pmi, label_propagation, kcore)
-    run unchanged on the maintained view.  Returns the number of
-    micro-batches processed.
+    view equals the batch computation exactly (e2e test).  Each batch
+    persists ONLY its (a, b, n_docs) delta (write_delta,
+    merge='additive'); readers fold the chain with
+    groupBy(a, b).sum(n_docs).  This is how the graph analytics stay
+    current at ingest rates: per-batch I/O is bounded by the batch's
+    documents, never the corpus or the store, and the downstream
+    analytics (comention_pmi, label_propagation, kcore) run unchanged
+    on the maintained view.  Returns the number of micro-batches
+    processed.
     """
     from ..operators.graph import comention_edges
     from ..plans.kg import detect_mentions, documents_as_source
-    from .snapshot import read_snapshot, write_snapshot
+    from .snapshot import write_delta
 
     n_batches = [0]
     stream = (
@@ -493,23 +528,20 @@ def stream_comention_ivm(spark: SparkSession, docs_path: str,
     )
 
     base = _version_base(spark, store_path, checkpoint_location)
+    lo = None if checkpoint_location else base
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         m = detect_mentions(documents_as_source(batch_df),
                             domain="doc", mode="rules")
-        delta = comention_edges(m)
-        existing = read_snapshot(spark, store_path, below=base + epoch_id,
-                                 at_least=base if not checkpoint_location
-                                 else None)
-        if existing is not None:
-            merged = (
-                existing.unionByName(delta)
-                .groupBy("a", "b")
-                .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
-            )
-        else:
-            merged = delta
-        write_snapshot(merged, store_path, base + epoch_id)
+        delta = comention_edges(m).select(
+            "a", "b", F.col("n_docs").cast("bigint").alias("n_docs")
+        )
+        write_delta(
+            delta, store_path, base + epoch_id,
+            merge={"kind": "additive", "keys": ["a", "b"],
+                   "sums": ["n_docs"]},
+            at_least=lo,
+        )
         n_batches[0] += 1
 
     _run_foreach_batch(stream, process, checkpoint_location)

@@ -1516,6 +1516,67 @@ def _q_kg_communities(spark, sf_dir):
     return label_propagation(comention_edges(m))
 
 
+def _q_kg_lpa_inc_invariants(spark, sf_dir):
+    """Incremental (warm-start) LPA invariants — the community-IVM
+    path (streaming/stream.stream_communities_ivm).  The guaranteed
+    properties, as violations vs a typed empty oracle:
+
+    * COLD CONVERGENCE: lpa_converged reaches a fixed point on the
+      co-mention graph within its round budget (measured ~3 rounds at
+      these sfs; graph-dependent, hence gated);
+    * WARM RESTART IS FREE: restarting from the converged labeling on
+      the UNCHANGED graph re-confirms stability in exactly 1 round —
+      the delta-scaled IVM payoff (a fixed point of the deterministic
+      plurality update maps to itself);
+    * WARM LABELS == CONVERGED LABELS row-for-row on the unchanged
+      graph;
+    * PARTITION VALIDITY: exactly one label per node.
+
+    What is deliberately NOT gated (lpa_converged docstring): warm ==
+    cold equality on a CHANGED graph — sync LPA has many fixed points
+    and the start vector selects one (tie-break sensitivity), so that
+    claim would be false by construction."""
+    from ner_funtool_spark.operators.graph import comention_edges, lpa_converged
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    e = comention_edges(m)
+    cold, cold_rounds, cold_conv = lpa_converged(e)
+    warm, warm_rounds, warm_conv = lpa_converged(e, init_labels=cold)
+
+    def flag(name, bad, detail):
+        return (
+            spark.range(1).filter(F.lit(bool(bad)))
+            .select(F.lit(name).alias("invariant"),
+                    F.lit(str(detail)).alias("detail"))
+        )
+
+    mism = (
+        cold.select("node", F.col("community").alias("c_cold"))
+        .join(warm.select("node", F.col("community").alias("c_warm")),
+              "node", "full_outer")
+        .filter(
+            F.col("c_cold").isNull() | F.col("c_warm").isNull()
+            | (F.col("c_cold") != F.col("c_warm"))
+        )
+        .select(F.lit("warm_equals_converged_labels").alias("invariant"),
+                F.coalesce(F.col("node"), F.lit("?")).alias("detail"))
+    )
+    dups = (
+        warm.groupBy("node").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select(F.lit("one_label_per_node").alias("invariant"),
+                F.col("node").alias("detail"))
+    )
+    return (
+        flag("cold_converged", not cold_conv, cold_rounds)
+        .unionByName(flag("warm_restart_one_round",
+                          not (warm_conv and warm_rounds == 1), warm_rounds))
+        .unionByName(mism)
+        .unionByName(dups)
+    )
+
+
 def _q_sketch_profile(spark, sf_dir):
     """Sketch-vs-exact profiling gate: HLL distinct counts and
     approx-percentile medians per source must stay within their error
@@ -1625,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_skew_report": _q_kg_skew_report,
         "kg_communities": _q_kg_communities,
+        "kg_lpa_inc_invariants": _q_kg_lpa_inc_invariants,
         "sketch_profile_invariants": _q_sketch_profile,
         "kg_kcore": _q_kg_kcore,
         "ann_topk_pq": _q_ann_topk_pq,
@@ -1732,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracles.kg_triangles_sql(),
         "kg_skew_report": oracles.kg_skew_report_sql(top_k=20),
         "kg_communities": oracles.kg_communities_sql(iterations=5),
+        "kg_lpa_inc_invariants": oracles.lpa_inc_invariants_sql(),
         "sketch_profile_invariants": oracles.sketch_profile_sql(),
         "kg_kcore": oracles.kg_kcore_sql(k=KCORE_K, rounds=KCORE_ROUNDS),
         "ann_topk_pq": oracles.ann_topk_pq_sql(

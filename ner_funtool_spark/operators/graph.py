@@ -326,15 +326,10 @@ def label_propagation(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     ``localCheckpoint`` truncates lineage per round, the label
     dimension is never broadcast (unbounded), no driver collect.
 
-    Why there is NO incremental (warm-start) LPA counterpart to
-    ``pagerank_converged``: sync LPA is not a contraction toward a
-    unique fixed point — its result is defined BY the trajectory
-    (initial labels = own ids, fixed round count), so warm-starting
-    from a previous graph's labels computes a different, equally valid
-    but non-reproducible labeling that no batch run matches and no
-    oracle can replay.  Incremental maintenance therefore targets
-    LPA's INPUT instead: stream_comention_ivm keeps the edge view
-    current and the batch LPA re-runs on the maintained view.
+    Fixed-horizon LPA has no warm-start story (the labeling is defined
+    BY its trajectory); ``lpa_converged`` below is the incremental
+    variant — it iterates to a fixed point, and its docstring states
+    exactly which warm-start guarantees exist (and which don't).
     """
     e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
         .distinct().persist()
@@ -359,6 +354,101 @@ def label_propagation(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     und.unpersist()
     e.unpersist()
     return out
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous plurality-update round: every node adopts the
+    most frequent label among its neighbours, ties broken by the
+    lexicographically smallest label (min-struct argmax — the same
+    deterministic rule as ``label_propagation``)."""
+    nb = und.join(
+        labels.select(F.col("u").alias("v"), "lbl"), "v"
+    ).select("u", "lbl")
+    counts = nb.groupBy("u", "lbl").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("u")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                            F.col("lbl").alias("l"))).alias("m"))
+        .select("u", F.col("m.l").alias("lbl"))
+    )
+
+
+def lpa_converged(edges: DataFrame, a_col: str = "a", b_col: str = "b",
+                  init_labels: DataFrame | None = None,
+                  max_rounds: int = 25):
+    """Label propagation iterated until the labeling stops changing,
+    optionally WARM-STARTED from a previous assignment — the
+    incremental-maintenance variant backing stream_communities_ivm.
+    Returns ``(labels, n_rounds, converged)``: (node, community) rows,
+    the number of plurality rounds applied (including the final round
+    that confirmed stability), and whether a fixed point was reached
+    within ``max_rounds``.
+
+    Warm-start guarantees — what holds and what does NOT:
+
+    * GUARANTEED (gated by Q:kg_lpa_inc_invariants): on an UNCHANGED
+      graph, restarting from a converged labeling re-confirms the same
+      fixed point in exactly 1 round with zero label changes — the
+      plurality update is deterministic, and a fixed point maps to
+      itself.  This is the delta-scaled IVM payoff: an empty/small
+      delta costs ~1 round instead of a full cold trajectory.
+    * NOT guaranteed (documented, not claimed): warm labels on a
+      CHANGED graph need not equal the cold labels of the new graph.
+      Unlike PageRank's contraction (unique fixed point, any start),
+      sync LPA admits MANY fixed points, and which one a run lands on
+      depends on its starting labels — the trajectory is part of the
+      algorithm.  A warm start converges to a valid, deterministic
+      labeling (same inputs -> same output), but tie-break sensitivity
+      means it can be a DIFFERENT valid community structure than a
+      cold run's.  Convergence itself is also graph-dependent: sync
+      plurality updates can 2-cycle on bipartite-ish structures, hence
+      the ``max_rounds`` horizon and the explicit ``converged`` flag
+      (measured: the co-mention graphs converge in ~3 rounds at
+      sf0.001-0.01).
+
+    Per round: one join + two aggregations + one node-keyed equality
+    check (count of changed labels — the driver sees one long per
+    round); ``localCheckpoint`` truncates lineage.  New nodes absent
+    from ``init_labels`` start as their own community, exactly like a
+    cold start.
+    """
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
+        .distinct().persist()
+    und = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    nodes = und.select("u").distinct()
+    if init_labels is None:
+        labels = nodes.withColumn("lbl", F.col("u"))
+    else:
+        labels = (
+            nodes.join(
+                init_labels.select(F.col("node").alias("u"),
+                                   F.col("community").alias("lbl0")),
+                "u", "left",
+            )
+            .select("u", F.coalesce(F.col("lbl0"), F.col("u")).alias("lbl"))
+        )
+    labels = labels.localCheckpoint(eager=False)
+    rounds, converged = 0, False
+    for _ in range(max_rounds):
+        new = _lpa_round(und, labels).localCheckpoint(eager=False)
+        rounds += 1
+        changed = (
+            labels.join(new.select("u", F.col("lbl").alias("lbl2")), "u")
+            .filter(F.col("lbl") != F.col("lbl2"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    out = labels.select(
+        F.col("u").alias("node"), F.col("lbl").alias("community")
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    e.unpersist()
+    return out, rounds, converged
 
 
 def kcore(edges: DataFrame, k: int = 3, rounds: int = 5,

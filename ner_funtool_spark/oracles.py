@@ -1396,6 +1396,18 @@ def pagerank_inc_invariants_sql() -> str:
     return double_invariants_sql()
 
 
+def lpa_inc_invariants_sql() -> str:
+    """Typed empty oracle for the incremental-LPA invariants query
+    (the converge-until-stable loop is iterative, not SQL-expressible;
+    the fixed-horizon LPA semantics are already oracle-checked by
+    kg_communities' unrolled CTEs).  Gate: violations == empty set."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS invariant,
+       CAST(NULL AS VARCHAR) AS detail
+WHERE 1 = 0
+"""
+
+
 def dedup_keep_docs_sql(threshold: float) -> str:
     """Keep-one-per-cluster corpus materialization: drop every doc in
     a near-dup component except its min-id representative."""

@@ -546,3 +546,73 @@ def stream_comention_ivm(spark: SparkSession, docs_path: str,
 
     _run_foreach_batch(stream, process, checkpoint_location)
     return n_batches[0]
+
+
+def stream_communities_ivm(spark: SparkSession, docs_path: str,
+                           edges_store: str, labels_store: str,
+                           max_rounds: int = 25,
+                           schema: str = "doc_id bigint, text string, "
+                                         "lang string, source string, "
+                                         "n_chars bigint",
+                           checkpoint_location: str | None = None) -> list:
+    """Incremental LPA community maintenance under Structured Streaming
+    — the fixed-point IVM pattern (stream_pagerank_ivm) applied to
+    label propagation.
+
+    Per micro-batch: (1) the batch's co-mention pairs are persisted as
+    an additive DELTA of the versioned edge store (write_delta — the
+    O(batch) write path); (2) lpa_converged re-runs over the full
+    maintained edge view WARM-STARTED from the previous label
+    snapshot; (3) labels advance via full snapshot writes by design —
+    like a PageRank vector, a community labeling is a global function
+    of the whole graph, not a mergeable per-batch contribution (and it
+    is node-count-sized, orders smaller than the edge store).
+
+    Guarantee boundary (lpa_converged docstring, gated in tests +
+    Q:kg_lpa_inc_invariants): an UNCHANGED edge set re-confirms the
+    previous labeling in exactly 1 round; a CHANGED graph converges to
+    a valid deterministic labeling that need NOT equal the cold batch
+    labeling (sync LPA has many fixed points; the start vector selects
+    one — tie-break sensitivity).  The e2e test therefore asserts the
+    guaranteed form: the final re-delivery batch (empty edge delta)
+    changes nothing and costs 1 round.
+
+    Returns [(epoch, n_rounds, converged), ...].
+    """
+    from ..operators.graph import comention_edges, lpa_converged
+    from ..plans.kg import detect_mentions, documents_as_source
+    from .snapshot import read_snapshot, write_delta, write_snapshot
+
+    log: list = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+
+    base = _version_base(spark, edges_store, checkpoint_location)
+    lo = None if checkpoint_location else base
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        v = base + epoch_id
+        m = detect_mentions(documents_as_source(batch_df),
+                            domain="doc", mode="rules")
+        delta = comention_edges(m).select(
+            "a", "b", F.col("n_docs").cast("bigint").alias("n_docs")
+        )
+        write_delta(
+            delta, edges_store, v,
+            merge={"kind": "additive", "keys": ["a", "b"],
+                   "sums": ["n_docs"]},
+            at_least=lo,
+        )
+        prev_l = read_snapshot(spark, labels_store, below=v)
+        edges = read_snapshot(spark, edges_store, below=v + 1, at_least=lo)
+        labels, n_rounds, converged = lpa_converged(
+            edges, init_labels=prev_l, max_rounds=max_rounds
+        )
+        write_snapshot(labels, labels_store, v)
+        log.append((epoch_id, n_rounds, converged))
+
+    _run_foreach_batch(stream, process, checkpoint_location)
+    return log

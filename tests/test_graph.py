@@ -272,3 +272,36 @@ def test_ppr_no_seed_in_graph_is_all_zero(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     got = {r["node"]: r["pr"] for r in pagerank_personalized(df, ["zz"]).collect()}
     assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_lpa_converged_fixed_point_and_warm_start(spark):
+    """lpa_converged: reaches a fixed point; restarting from it on the
+    unchanged graph costs exactly 1 confirm round and changes nothing;
+    a new-node warm start stays valid (one label per node, new nodes
+    seeded as their own community)."""
+    from ner_funtool_spark.operators.graph import lpa_converged
+
+    # two triangles bridged by one edge — plurality converges to one
+    # label per triangle side
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"),
+         ("x", "y"), ("x", "z"), ("y", "z"),
+         ("c", "x")],
+        "a string, b string",
+    )
+    cold, cold_rounds, cold_conv = lpa_converged(edges)
+    assert cold_conv and cold_rounds >= 1
+    labels = {r["node"]: r["community"] for r in cold.collect()}
+    assert set(labels) == {"a", "b", "c", "x", "y", "z"}
+    # warm restart on the unchanged graph: 1 round, identical labels
+    warm, warm_rounds, warm_conv = lpa_converged(edges, init_labels=cold)
+    assert warm_conv and warm_rounds == 1
+    assert {r["node"]: r["community"] for r in warm.collect()} == labels
+    # grown graph: warm start converges to a valid labeling (equality
+    # with a cold run is NOT asserted — trajectory-dependent)
+    grown = edges.union(
+        spark.createDataFrame([("z", "w"), ("w", "v")], "a string, b string")
+    )
+    warm2, _, conv2 = lpa_converged(grown, init_labels=cold)
+    got2 = {r["node"]: r["community"] for r in warm2.collect()}
+    assert conv2 and set(got2) == set(labels) | {"w", "v"}

@@ -576,3 +576,50 @@ def test_degrees_ivm_across_invocations(spark, tmp_path):
     got2 = {r["node"]: r["deg"] for r in read_snapshot(spark, store2).collect()}
     want2 = batch_degrees(docs.filter(F.col("doc_id") % 3 != 2))
     assert got2 == want2
+
+
+def test_stream_communities_ivm_guarantees(spark, tmp_path):
+    """Incremental LPA maintenance: edge deltas accumulate additively;
+    labels re-converge warm-started per batch.  Gated are the
+    GUARANTEED properties only (lpa_converged docstring): every batch
+    converges, and the final re-delivery batch (unchanged edge SET —
+    additive counts grow, the pair set doesn't) re-confirms the
+    previous labeling in exactly 1 round with zero label changes.
+    Warm == cold equality on a grown graph is deliberately NOT
+    asserted (sync LPA has many fixed points; the start selects one)."""
+    from ner_funtool_spark.operators.graph import comention_edges
+    from ner_funtool_spark.plans.kg import detect_mentions, documents_as_source
+    from ner_funtool_spark.streaming.snapshot import read_snapshot
+    from ner_funtool_spark.streaming.stream import stream_communities_ivm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = tmp_path / "lpasrc"
+    src.mkdir()
+    for i in range(3):
+        (docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.parquet(str(src / f"b{i}")))
+    # batch 4 re-delivers batch 0's documents: same co-mention PAIRS
+    (docs.filter(F.col("doc_id") % 3 == 0).coalesce(1)
+     .write.parquet(str(src / "b3_redelivery")))
+    e_store = str(tmp_path / "lpa_edges")
+    l_store = str(tmp_path / "lpa_labels")
+    log = stream_communities_ivm(spark, f"{src}/*", e_store, l_store)
+    assert len(log) == 4
+    assert all(conv for _, _, conv in log)
+    # the unchanged-graph re-delivery batch is 1 confirm round
+    assert log[-1][1] == 1
+    # and changed nothing: final labels == labels after epoch 2
+    final = {r["node"]: r["community"]
+             for r in read_snapshot(spark, l_store).collect()}
+    prev = {r["node"]: r["community"]
+            for r in read_snapshot(spark, l_store, below=3).collect()}
+    assert final == prev and len(final) > 0
+    # maintained edge view == batch comention pairs => same node universe
+    m = detect_mentions(documents_as_source(docs), domain="doc", mode="rules")
+    ce = comention_edges(m)
+    want_nodes = {
+        r["n"]
+        for r in ce.select(F.col("a").alias("n"))
+        .union(ce.select(F.col("b").alias("n"))).distinct().collect()
+    }
+    assert set(final) == want_nodes

@@ -1504,6 +1504,97 @@ def _q_ann_opq_invariants(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_ann_ivf_opq_trained_invariants(spark, sf_dir):
+    """The full production ANN stack trained END-TO-END (r4 verdict
+    item 4): opq_train learns the rotation + codebooks, kmeans learns
+    the IVF centroids IN THE ROTATED SPACE (the composition order
+    production OPQ-IVF systems use — lists must partition the space
+    the codes quantize), then topk_ivf_pq serves from the composed
+    index.  Violations vs a typed empty oracle:
+
+    * composed_recall_ge_ivf_pq — recall@k vs brute force of the
+      trained IVF+OPQ composition must be >= the plain trained
+      IVF+PQ baseline (no rotation).  Measured margins: 17 vs 12
+      (sf0.001), 17 vs 16 (sf0.01), 10 vs 8 (sf0.1) of 50 exact —
+      deterministic per sf (seeded init, fixed data);
+    * centroid_shape — the rotated-space trainer returns exactly
+      IVF_CENTROIDS vectors of EMBED_DIM;
+    * rank_bounds / topk_size — the composed path's output is
+      structurally sound (ranks in 1..k, <= k rows per query).
+    The rotation/codebook properties themselves (orthogonality,
+    distortion <= plain PQ) are gated by Q:ann_opq_invariants."""
+    from ner_funtool_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_CENTROIDS,
+        kmeans_centroids,
+        opq_train,
+        pq_train_codebooks,
+        rotate_embeddings_exact,
+        topk_bruteforce,
+        topk_ivf_pq,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    qids = list(range(ANN_QUERY_MAX))
+    keys = ["query_id", "neighbor_id"]
+    exact = topk_bruteforce(emb, qids, ANN_K).select(*keys).persist()
+    rot, opq_cb = opq_train(emb, iterations=2, pq_iterations=2)
+    rotated = rotate_embeddings_exact(emb, rot).persist()
+    cents_r = kmeans_centroids(rotated)
+    composed = topk_ivf_pq(rotated, qids, ANN_K, centroids=cents_r,
+                           codebooks=opq_cb).persist()
+    hits_c = composed.select(*keys).join(exact, keys, "left_semi") \
+        .agg(F.count("*").alias("v"))
+    base = topk_ivf_pq(emb, qids, ANN_K,
+                       centroids=kmeans_centroids(emb),
+                       codebooks=pq_train_codebooks(emb, iterations=2))
+    hits_b = base.select(*keys).join(exact, keys, "left_semi") \
+        .agg(F.count("*").alias("b"))
+    recall_viol = (
+        hits_c.crossJoin(hits_b)
+        .filter(F.col("v") < F.col("b"))
+        .select(
+            F.lit("composed_recall_ge_ivf_pq").alias("invariant"),
+            F.col("v").cast("bigint").alias("value"),
+            F.col("b").cast("bigint").alias("baseline"),
+        )
+    )
+    dim = len(cents_r[0]) if cents_r else 0
+    shape_viol = (
+        spark.createDataFrame([(len(cents_r), dim)], "nc long, dim long")
+        .filter((F.col("nc") != IVF_CENTROIDS) | (F.col("dim") != EMBED_DIM))
+        .select(
+            F.lit("centroid_shape").alias("invariant"),
+            F.col("nc").cast("bigint").alias("value"),
+            F.col("dim").cast("bigint").alias("baseline"),
+        )
+    )
+    rank_viol = composed.filter(
+        (F.col("rank") < 1) | (F.col("rank") > ANN_K)
+    ).select(
+        F.lit("rank_bounds").alias("invariant"),
+        F.col("rank").cast("bigint").alias("value"),
+        F.lit(ANN_K).cast("bigint").alias("baseline"),
+    )
+    size_viol = (
+        composed.groupBy("query_id").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > ANN_K)
+        .select(
+            F.lit("topk_size").alias("invariant"),
+            F.col("n").cast("bigint").alias("value"),
+            F.lit(ANN_K).cast("bigint").alias("baseline"),
+        )
+    )
+    out = (
+        recall_viol.unionByName(shape_viol)
+        .unionByName(rank_viol).unionByName(size_viol)
+    ).localCheckpoint(eager=True)
+    composed.unpersist()
+    rotated.unpersist()
+    exact.unpersist()
+    return out
+
+
 def _q_kg_communities(spark, sf_dir):
     """Label-propagation communities on the co-mention graph (fixed 5
     sync rounds, plurality label with smallest-label tie-break) — the
@@ -1682,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_temporal": _q_kg_entity_temporal,
         "events_time_pruned": _q_events_time_pruned,
         "ann_opq_invariants": _q_ann_opq_invariants,
+        "ann_ivf_opq_trained_invariants": _q_ann_ivf_opq_trained_invariants,
         "kg_comention_pmi": _q_kg_comention_pmi,
         "kg_triangles": _q_kg_triangles,
         "kg_skew_report": _q_kg_skew_report,
@@ -1790,6 +1882,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_temporal": oracles.kg_entity_temporal_sql(),
         "events_time_pruned": oracles.events_time_pruned_sql(),
         "ann_opq_invariants": oracles.double_invariants_sql(),
+        "ann_ivf_opq_trained_invariants":
+            oracles.ann_ivf_trained_invariants_sql(),
         "kg_comention_pmi": oracles.kg_comention_pmi_sql(min_pair_docs=2),
         "kg_triangles": oracles.kg_triangles_sql(),
         "kg_skew_report": oracles.kg_skew_report_sql(top_k=20),

@@ -853,6 +853,47 @@ def _q_kg_comention(spark, sf_dir):
     return comention_edges(m)
 
 
+def _mention_store(spark, sf_dir):
+    """Stage the doc-bucketed DISTINCT (repo, path, entity) mention
+    store for this sf (overwritten per call; per-PID names — the
+    _dual_triple_indexes concurrency contract); returns the table
+    name."""
+    import os as _os
+    import re as _re
+
+    from ner_funtool_spark.sources.store import write_mentions_bucketed
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    m = detect_mentions(src, domain="doc", mode="rules")
+    tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/")) + f"_p{_os.getpid()}"
+    table = f"comention_store{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_mentions_bucketed(m, table, f"/tmp/nfs_mention_store{tag}")
+    return table
+
+
+def _q_kg_comention_store(spark, sf_dir):
+    """kg_comention served from the doc-bucketed mention store
+    (sources/store.write_mentions_bucketed): both self-join inputs
+    read the store bucketed on (repo, path), so the per-doc pair join
+    plans with ZERO Exchange in the join subtree (tests/test_store.py)
+    — the write-once shuffle amortized over every co-mention query.
+    Same oracle as kg_comention: the layout must not change a row."""
+    from ner_funtool_spark.sources.store import comention_from_store
+
+    return comention_from_store(spark, _mention_store(spark, sf_dir))
+
+
+def _q_kg_comention_pmi_store(spark, sf_dir):
+    """kg_comention_pmi served from the doc-bucketed mention store —
+    the PMI aggregation stack over the Exchange-free pair join; same
+    oracle as kg_comention_pmi."""
+    from ner_funtool_spark.sources.store import comention_pmi_from_store
+
+    return comention_pmi_from_store(spark, _mention_store(spark, sf_dir),
+                                    min_pair_docs=2)
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of enrichment with DUPLICATE left rows planted (every 97th
     event appears twice) — proves duplicates are preserved, not merged
@@ -1775,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_opq_invariants": _q_ann_opq_invariants,
         "ann_ivf_opq_trained_invariants": _q_ann_ivf_opq_trained_invariants,
         "kg_comention_pmi": _q_kg_comention_pmi,
+        "kg_comention_store": _q_kg_comention_store,
+        "kg_comention_pmi_store": _q_kg_comention_pmi_store,
         "kg_triangles": _q_kg_triangles,
         "kg_skew_report": _q_kg_skew_report,
         "kg_communities": _q_kg_communities,
@@ -1885,6 +1928,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_opq_trained_invariants":
             oracles.ann_ivf_trained_invariants_sql(),
         "kg_comention_pmi": oracles.kg_comention_pmi_sql(min_pair_docs=2),
+        "kg_comention_store": oracles.kg_comention_sql(),
+        "kg_comention_pmi_store": oracles.kg_comention_pmi_sql(
+            min_pair_docs=2
+        ),
         "kg_triangles": oracles.kg_triangles_sql(),
         "kg_skew_report": oracles.kg_skew_report_sql(top_k=20),
         "kg_communities": oracles.kg_communities_sql(iterations=5),

@@ -164,6 +164,95 @@ def pred_cooccurrence_from_store(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def write_mentions_bucketed(mentions: DataFrame, table: str, path: str,
+                            n_buckets: int = N_BUCKETS,
+                            doc_cols=("repo", "path"),
+                            text_col: str = "text") -> None:
+    """Doc-bucketed mention store for the co-mention analytics family:
+    the DISTINCT (doc, entity) projection bucketed+sorted on the doc
+    key (composite (repo, path) — multi-column bucketing hashes the
+    tuple).
+
+    kg_comention / kg_comention_pmi re-shuffle the mention table on
+    the doc key EVERY run (the per-doc self-join's only requirement);
+    with this layout the shuffle is paid once at write, and every
+    subsequent co-mention query's join inputs read pre-partitioned
+    buckets — zero Exchange in the join subtree (the
+    ``write_triples_bucketed`` economics applied to the mention
+    fact table).  The store holds the distinct projection by
+    construction so readers never re-add the distinct's shuffle."""
+    d = list(doc_cols)
+    ents = mentions.select(*d, F.col(text_col).alias("e")).distinct()
+    (
+        ents.repartition(n_buckets, *d)
+        .write.format("parquet")
+        .bucketBy(n_buckets, *d)
+        .sortBy(*d)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def comention_from_store(spark: SparkSession, table: str,
+                         doc_cols=("repo", "path")) -> DataFrame:
+    """operators/graph.comention_edges served from the doc-bucketed
+    mention store: (a, b, n_docs) with identical rows (gated against
+    the SAME oracle as kg_comention).
+
+    Plan shape: both self-join inputs scan the store bucketed on the
+    doc key, so the join plans with NO Exchange on either side; the
+    only Exchange left is the final (a, b) pair aggregation of the
+    (much smaller) pair list.  At store scale the removed shuffle is
+    2x the mention table per query."""
+    d = list(doc_cols)
+    t = spark.table(table)
+    a = t.select(*d, F.col("e").alias("a"))
+    b = t.select(*d, F.col("e").alias("b"))
+    return (
+        a.join(b, d)
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def comention_pmi_from_store(spark: SparkSession, table: str,
+                             doc_cols=("repo", "path"),
+                             min_pair_docs: int = 2) -> DataFrame:
+    """operators/graph.comention_pmi served from the doc-bucketed
+    mention store (same output contract, same rounding — gated against
+    the SAME oracle).  The pair join is Exchange-free as in
+    ``comention_from_store``; the per-entity doc counts shuffle only
+    the (entity, count) dimension, and the distinct-doc count N reads
+    the bucketed distribution directly (the doc-keyed distinct's
+    first aggregation is satisfied by the bucketing)."""
+    d = list(doc_cols)
+    ents = spark.table(table)
+    pairs = comention_from_store(spark, table, doc_cols=doc_cols)
+    ent_docs = ents.groupBy("e").agg(F.count("*").alias("n_e"))
+    n_docs = ents.select(*d).distinct().agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.filter(F.col("n_docs") >= min_pair_docs)
+        .withColumnRenamed("n_docs", "n_ab")
+        .join(ent_docs.withColumnRenamed("e", "a")
+              .withColumnRenamed("n_e", "n_a"), "a")
+        .join(ent_docs.withColumnRenamed("e", "b")
+              .withColumnRenamed("n_e", "n_b"), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a", "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs")
+                      / (F.col("n_a") * F.col("n_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
 def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
                     target_mb: int = 128) -> dict:
     """Small-file compaction for a parquet store: rewrite ``in_dir``

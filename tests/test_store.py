@@ -204,3 +204,65 @@ def test_degrees_from_store_dual_index_zero_exchange(store):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql(f"DROP TABLE IF EXISTS {spo_table}")
             spark.sql(f"DROP TABLE IF EXISTS {ops_table}")
+
+
+MSTORE = "mentions_bkt_test"
+
+
+@pytest.fixture(scope="module")
+def mention_store(spark, tmp_path_factory):
+    from ner_funtool_spark.plans.kg import detect_mentions
+    from ner_funtool_spark.sources.store import write_mentions_bucketed
+
+    path = str(tmp_path_factory.mktemp("mstore") / "mentions_bkt")
+    spark.sql(f"DROP TABLE IF EXISTS {MSTORE}")
+    m = detect_mentions(
+        source_table(spark, 120, partitions=4), domain="code", mode="rules"
+    )
+    write_mentions_bucketed(m, MSTORE, path, n_buckets=8)
+    yield spark, m
+    spark.sql(f"DROP TABLE IF EXISTS {MSTORE}")
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_comention_from_store_is_colocated_and_exact(mention_store):
+    """The doc-bucketed mention store serves the co-mention self-join
+    with ZERO Exchange in the join subtree (both inputs read buckets
+    hashed on the composite (repo, path) key), and the rows equal the
+    plain comention_edges computation."""
+    from ner_funtool_spark.operators.graph import comention_edges
+    from ner_funtool_spark.plans.inspect import join_subtree_exchanges
+    from ner_funtool_spark.sources.store import comention_from_store
+
+    spark, m = mention_store
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        co = comention_from_store(spark, MSTORE)
+        plan = _physical(co)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert join_subtree_exchanges(co) == 0, plan[:2000]
+        got = {(r["a"], r["b"]): r["n_docs"] for r in co.collect()}
+        want = {
+            (r["a"], r["b"]): r["n_docs"]
+            for r in comention_edges(m).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_comention_pmi_from_store_matches_plain(mention_store):
+    from ner_funtool_spark.operators.graph import comention_pmi
+    from ner_funtool_spark.sources.store import comention_pmi_from_store
+
+    spark, m = mention_store
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["n_a"], r["n_b"], r["pmi"])
+        for r in comention_pmi_from_store(spark, MSTORE).collect()
+    }
+    want = {
+        (r["a"], r["b"]): (r["n_ab"], r["n_a"], r["n_b"], r["pmi"])
+        for r in comention_pmi(m, min_pair_docs=2).collect()
+    }
+    assert got == want

@@ -57,6 +57,10 @@ PLAN_QUERIES = [
     "ann_topk_opq",
     "ann_topk_ivf_opq",
     "kg_degrees_store",
+    # r5: doc-bucketed mention store — pins the zero-Exchange
+    # co-mention join subtree the layout exists for
+    "kg_comention_store",
+    "kg_comention_pmi_store",
 ]
 
 

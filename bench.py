@@ -135,6 +135,8 @@ def main() -> None:
         # r4 additions: layout-served and temporal-dimension tier
         "kg_two_hop_store", "events_time_pruned", "tag_metrics_micro",
         "kg_entity_temporal",
+        # r5: doc-bucketed mention store (Exchange-free co-mention)
+        "kg_comention_store", "kg_comention_pmi_store",
     ):
         # construction is inside the timing: declarative queries build
         # lazily (~ms), but queries that materialize eagerly during
@@ -146,17 +148,32 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=reps)
 
     spark.stop()
+    # calibration-normalized walls (r4 verdict item 8): scale every
+    # wall by (host_calibration_sec / CAL_REF_SEC) so artifacts from
+    # hosts at different (drifting) speeds compare by construction —
+    # CAL_REF_SEC is the quiet-host calibration this repo's claims
+    # were measured at (0.38-0.43 across rounds; BENCH/BASELINE.md).
+    # First-order correction only: the kernel samples single-thread
+    # compute speed, which BENCH/BASELINE.md shows moves in lock-step
+    # with the flagship under host drift (3.5x vs 3.2x same-session);
+    # it cannot correct I/O- or scheduler-bound components.
+    CAL_REF_SEC = 0.400
+    factor = CAL_REF_SEC / host_calibration_sec
+    queries_normalized = {k: round(v * factor, 3) for k, v in timings.items()}
     print(json.dumps({
         "metric": "triples_per_sec",
         "value": round(tps, 1),
+        "value_normalized": round(tps / factor, 1),
         "unit": "triples/sec",
         "queries": timings,
+        "queries_normalized": queries_normalized,
         "sf": sf,
         "cpus": cpus,
         "n_files": n_files,
         "n_triples": n_triples,
         "kg_e2e_sec": timings["kg_code_e2e"],
         "host_calibration_sec": host_calibration_sec,
+        "host_calibration_ref_sec": CAL_REF_SEC,
         # r3 continuation: per-query walls now include query
         # CONSTRUCTION, so eagerly-materializing queries (canonicalize
         # CC loop, pagerank, bloom build, triangles/LPA/kcore) report

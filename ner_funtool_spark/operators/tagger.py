@@ -47,12 +47,23 @@ from ..functions.model import (
 )
 
 
-def _build_encoder(mode: str, n_types: int, seed: int) -> SeededBiLSTM:
+def _build_encoder(mode: str, n_types: int, seed: int,
+                   opts: dict | None = None) -> SeededBiLSTM:
     """Encoder per mode: 'albert' = factorized-embedding shared-layer
     variant (modeling_albert.py semantics), else the BERT-style stack;
-    both feed the same BiLSTM + Viterbi machinery."""
+    both feed the same BiLSTM + Viterbi machinery.
+
+    ``opts`` overrides the encoder SHAPE (n_layers, n_heads, embed_dim,
+    hidden, vocab_size) — the M13 depth-study knob (real-BERT regime:
+    12 layers x 12 heads over a 21128 wordpiece vocab,
+    bert/modeling_bert.py:784-1157).  Defaults unchanged, so every
+    fixture-pinned path is untouched."""
+    opts = opts or {}
     cls = SeededAlbertBiLSTM if mode == "albert" else SeededBertBiLSTM
-    return cls(NEURAL_VOCAB, 1 + 4 * n_types, n_attr=n_types + 1, seed=seed)
+    kw = {k: opts[k] for k in ("n_layers", "n_heads", "embed_dim", "hidden")
+          if k in opts}
+    vocab = opts.get("vocab_size", NEURAL_VOCAB)
+    return cls(vocab, 1 + 4 * n_types, n_attr=n_types + 1, seed=seed, **kw)
 
 
 TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]")
@@ -233,7 +244,9 @@ def _classes_bytes(domain: str, data: np.ndarray, tok_start: np.ndarray,
 # the fused Spark stage
 # --------------------------------------------------------------------------
 
-_ID_CACHE: dict[str, int] = {}
+# memoized token->id maps, one per vocab size: encoders with different
+# hash-vocab sizes (the depth/vocab study) must not share cached ids
+_ID_CACHES: dict[int, dict[str, int]] = {}
 _ID_CACHE_MAX = 1_000_000
 
 
@@ -243,21 +256,23 @@ def _ids_from_tokens(toks: np.ndarray, vocab_size: int = NEURAL_VOCAB) -> np.nda
     no driver-side dictionary, deterministic on any executor.  The
     token->id map is pure, so it is memoized across Arrow batches for
     the lifetime of the worker (bounded)."""
+    cache = _ID_CACHES.setdefault(vocab_size, {})
     codes, uniq = pd.factorize(toks.ravel())
     uids = np.empty(len(uniq), dtype=np.int64)
     for i, u in enumerate(uniq):
-        v = _ID_CACHE.get(u)
+        v = cache.get(u)
         if v is None:
             v = 0 if u == "" else md5_int(u) % (vocab_size - 1) + 1
-            if len(_ID_CACHE) < _ID_CACHE_MAX:
-                _ID_CACHE[u] = v
+            if len(cache) < _ID_CACHE_MAX:
+                cache[u] = v
         uids[i] = v
     return uids[codes].reshape(toks.shape)
 
 
 def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                  sentence_col: str = "sentence", max_len: int = MAX_LEN,
-                 seed: int = SEED) -> DataFrame:
+                 seed: int = SEED,
+                 encoder_opts: dict | None = None) -> DataFrame:
     """sentences -> mention rows; all pass-through columns preserved.
 
     Output adds (begin, end, text, etype, score, model); char offsets
@@ -318,8 +333,12 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                     )
                 elif mode in ("neural", "cascade", "albert"):
                     if neural is None:
-                        neural = _build_encoder(mode, n_types, seed)
-                    ids = _ids_from_tokens(toks)
+                        neural = _build_encoder(mode, n_types, seed,
+                                                encoder_opts)
+                    ids = _ids_from_tokens(
+                        toks,
+                        (encoder_opts or {}).get("vocab_size", NEURAL_VOCAB),
+                    )
                     tags = _neural_decode(
                         neural, ids, lens, n_types,
                         "neural" if mode == "albert" else mode,

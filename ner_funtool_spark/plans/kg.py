@@ -21,10 +21,14 @@ from ..operators.triples import contains_triples, mentions_to_triples
 
 
 def detect_mentions(source: DataFrame, *, domain: str = "code",
-                    mode: str = "rules") -> DataFrame:
-    """source(repo,path,commit,lang,content,content_sha) -> mention rows."""
+                    mode: str = "rules",
+                    encoder_opts: dict | None = None) -> DataFrame:
+    """source(repo,path,commit,lang,content,content_sha) -> mention rows.
+    ``encoder_opts`` overrides the neural encoder shape (depth study —
+    operators/tagger._build_encoder docstring)."""
     sents = segment_lines(source)
-    return tag_mentions(sents, domain=domain, mode=mode)
+    return tag_mentions(sents, domain=domain, mode=mode,
+                        encoder_opts=encoder_opts)
 
 
 def build_triples(source: DataFrame, *, domain: str = "code",

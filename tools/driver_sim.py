@@ -52,7 +52,8 @@ def main() -> int:
     import __spark_entry__ as mod
     from ner_funtool_spark.session import get_spark
 
-    spark = get_spark("driver_sim", cores=8, shuffle_partitions=8)
+    cores = int(os.environ.get("DRIVER_SIM_CORES", "8"))
+    spark = get_spark("driver_sim", cores=cores, shuffle_partitions=cores)
 
     print("== smoke: entry(spark) ==")
     edf = mod.entry(spark)

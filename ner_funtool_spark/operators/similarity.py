@@ -47,9 +47,21 @@ def hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMBED_DIM,
     return [[round(float(v), 6) for v in row] for row in h]
 
 
+def _f64(a):
+    """Pin vector kernels to DOUBLE arithmetic over the float32-stored
+    embeddings.  Without this, Spark's zip_with multiplies in float32
+    while DuckDB's list arithmetic promotes to double — a ~1e-8 score
+    discrepancy that flips the 6-decimal rounding whenever a score
+    lands on a .5e-6 boundary (latent at small sfs; the sf1 sweep's
+    87k near-dup replica pairs surfaced one).  Casting the inputs
+    makes both engines do identical double math on the same
+    32-bit-exact values; casting a double array is a no-op."""
+    return a.cast("array<double>")
+
+
 def _dot(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(_f64(a), _f64(b), lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
@@ -57,7 +69,8 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+        F.aggregate(_f64(a), F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x * x)
     )
 
 
@@ -319,7 +332,7 @@ def seeded_pq_codebooks(m: int = PQ_M, k: int = PQ_K,
 
 def _l2sq(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(_f64(a), _f64(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )

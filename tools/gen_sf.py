@@ -96,7 +96,15 @@ def _replicate(table: str, factor: int, spaces: dict[str, int]) -> pa.Table:
                 flat = np.asarray(arr.flatten().to_numpy(
                     zero_copy_only=False))
                 dim = len(flat) // len(arr)
-                pert = (((r * 31 + np.arange(dim)) % 7) - 3) * 1e-3
+                # irrational step: the driver's embeddings are stored
+                # 6dp-rounded, and a clean decimal perturbation makes
+                # near-parallel replica cosines land exactly on
+                # .5e-6 rounding boundaries where Spark (half-up) and
+                # DuckDB (half-even) legitimately differ — measured:
+                # one ann_topk row at 0.9998745.  sqrt(2) scatters the
+                # mantissa so boundary hits are measure-zero.
+                pert = ((((r * 31 + np.arange(dim)) % 7) - 3)
+                        * 1e-3 * np.sqrt(2.0))
                 flat = (flat.reshape(-1, dim) + pert).reshape(-1)
                 col = pa.FixedSizeListArray.from_arrays(
                     pa.array(flat, type=arr.type.value_type), dim

@@ -326,9 +326,13 @@ def _q_dedup_clusters(spark, sf_dir):
     from ner_funtool_spark.operators.components import canonicalize
     from ner_funtool_spark.operators.dedup import ngram_jaccard_pairs
 
+    # persist the (tiny) edge list: it feeds the CC init checkpoint AND
+    # the node list — without this the jaccard candidate+verify
+    # pipeline re-runs per materialization (r6, training_corpus probe)
     edges = (
         ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .persist()
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
@@ -350,6 +354,7 @@ def _q_dedup_keep_docs(spark, sf_dir):
     edges = (
         ngram_jaccard_pairs(docs, JACCARD_T)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .persist()  # feeds CC init + node list (dedup_clusters note)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
@@ -375,6 +380,7 @@ def _q_dedup_keep_docs_longest(spark, sf_dir):
     edges = (
         ngram_jaccard_pairs(docs, JACCARD_T)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .persist()  # feeds CC init + node list (dedup_clusters note)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
@@ -1023,19 +1029,25 @@ def _q_kg_entity_temporal(spark, sf_dir):
     from ner_funtool_spark.operators.linking import candidate_pairs
     from ner_funtool_spark.operators.upsert import scd2_upsert
 
-    def canon_map(docs):
-        src = documents_as_source(docs)
-        m = detect_mentions(src, domain="doc", mode="rules")
-        ents = m.select("text", "etype").distinct().persist()
+    # r6: ONE Arrow tagging pass serves the epoch-1 entity set, the
+    # epoch-2 entity set AND the final mention bind (the r5 form ran
+    # detect_mentions three times).  Mentions are per-document
+    # row-local (segment posexplode + per-sentence tagging), so
+    # filtering the full mention table by doc parity is EXACTLY the
+    # mention set of the half corpus — same rows, same hash.
+    mentions = _crf_mentions_std(spark, sf_dir).persist()
+
+    def canon_map(ments):
+        ents = ments.select("text", "etype").distinct().persist()
         edges = candidate_pairs(ents).select("src", "dst")
         nodes = ents.select(F.col("text").alias("node")).distinct()
         out = canonicalize(nodes, edges).localCheckpoint(eager=True)
         ents.unpersist()
         return out
 
-    docs = _docs(spark, sf_dir)
-    v1 = canon_map(docs.filter(F.col("doc_id") % 2 == 0))
-    v2 = canon_map(docs)
+    doc_num = F.regexp_extract("path", r"docs/(\d+)\.txt", 1).cast("bigint")
+    v1 = canon_map(mentions.filter(doc_num % 2 == 0))
+    v2 = canon_map(mentions)
     hist0 = v1.select(
         "node", "canonical_id",
         F.lit("v1").alias("valid_from"),
@@ -1043,7 +1055,7 @@ def _q_kg_entity_temporal(spark, sf_dir):
     )
     hist = scd2_upsert(hist0, v2, key_cols=("node",),
                        compare_cols=("canonical_id",), version="v2")
-    m = _crf_mentions_std(spark, sf_dir)
+    m = mentions
     mm = m.withColumn(
         "obs_version",
         F.when(
@@ -1304,7 +1316,12 @@ def _dual_triple_indexes(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {spo}")
     spark.sql(f"DROP TABLE IF EXISTS {ops}")
     write_triples_bucketed(t, spo, f"{base}/spo")
-    write_triples_bucketed_by_obj(t, ops, f"{base}/ops")
+    # the OPS index holds the SAME key-unique triple set — build it
+    # from the just-written SPO table instead of re-running the whole
+    # Arrow tagging pipeline a second time (r6: the staging cost was
+    # 2x the mention pipeline; reading the columnar store back is ~free
+    # and the distinct projection is already materialized in it)
+    write_triples_bucketed_by_obj(spark.table(spo), ops, f"{base}/ops")
     return spo, ops
 
 

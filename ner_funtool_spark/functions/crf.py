@@ -150,6 +150,44 @@ def viterbi_decode_classes(
     return np.where(mask, path, 0).astype(np.int32)
 
 
+def bmes_tags_from_classes(cls: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Closed-form decode for the rules-mode CRF: the maximal-run BMES
+    labeling of a class matrix, equal to
+    ``viterbi_decode_classes(cls, n_types, *bmes_transitions(n_types))``
+    for EVERY input (pinned in tests/test_crf.py) but computed with
+    shift-compare index arithmetic instead of the [B, S] x V dynamic
+    program.
+
+    Why this is exact, not an approximation: under the hard BMES
+    grammar, class-indicator emissions (+emit_score per matching-block
+    tag, 0 otherwise) and the within-entity ENTITY_BONUS, the unique
+    argmax path (a) tags every class-c token inside block c — any
+    deviation loses emit_score, far above any transition gain; (b) tags
+    every class-0 token O; and (c) labels each maximal same-class run
+    as ONE entity — splitting a run forfeits ENTITY_BONUS at the split.
+    Maximal-run BMES is therefore the optimum, and it is computable
+    directly: a token is M if its neighbours on both sides continue the
+    run, E if only the left does, B if only the right does, S if
+    neither.  This removes the DP that BENCH/BASELINE.md measured as
+    the flagship's residual 8->32 scaling cost (r6, guide §1.2 step 2).
+    """
+    B, S = cls.shape
+    lengths = np.asarray(lengths, dtype=np.int64)
+    mask = np.arange(S)[None, :] < lengths[:, None]
+    c = np.where(mask, cls, 0)
+    nz = c > 0
+    prev_same = np.zeros_like(nz)
+    prev_same[:, 1:] = nz[:, 1:] & (c[:, 1:] == c[:, :-1]) & nz[:, :-1]
+    next_same = np.zeros_like(nz)
+    next_same[:, :-1] = nz[:, :-1] & (c[:, :-1] == c[:, 1:]) & nz[:, 1:]
+    # boundary offset within the [B, M, E, S] block: B=0, M=1, E=2, S=3
+    code = np.where(
+        prev_same & next_same, 1,
+        np.where(prev_same, 2, np.where(next_same, 0, 3)),
+    )
+    return np.where(nz, (c - 1) * 4 + 1 + code, 0).astype(np.int32)
+
+
 def crf_sequence_score(
     logits: np.ndarray,
     transitions: np.ndarray,

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    No trailing ``distinct()``: this output only ever feeds
+    ``_small_star``, whose ``collect_set`` aggregation dedups (src, dst)
+    pairs identically — the explicit distinct was a whole extra shuffle
+    per round for a set the next groupBy rebuilds anyway (r6, guide
+    §2.4).  Cross-group duplicates are bounded by 2|E| rows."""
     nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     agg = nbrs.groupBy("src").agg(
         F.collect_set("dst").alias("ns"),
@@ -32,7 +38,7 @@ def _large_star(e: DataFrame) -> DataFrame:
         F.explode(F.filter(F.col("ns"), lambda v: v > F.col("src"))).alias("src"),
         mn.alias("dst"),
     )
-    return out.filter(F.col("src") != F.col("dst")).distinct()
+    return out.filter(F.col("src") != F.col("dst"))
 
 
 def _small_star(e: DataFrame) -> DataFrame:

@@ -133,17 +133,38 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float,
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str,
                     threshold: float) -> DataFrame:
     """Exact-jaccard verification of (a, b) candidates against the full
-    shingle table — candidate-proportional, shared by ngram + LSH paths."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ni = (
-        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
-        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("ni"))
+    shingle table — candidate-proportional, shared by ngram + LSH paths.
+
+    r6 shape (guide §2.3 "shuffle fewer bytes", measured 6-9 s -> ~1 s
+    at sf0.1): the r5 form joined candidates against the (id, shingle)
+    table on BOTH sides, materializing |pairs| x |shingles-per-doc|
+    intermediate rows through a shuffle (~60 M rows for 1.1 M pairs at
+    sf0.1 — and the very join that exceeded the sf1 cap on near-dup
+    cliques).  Instead, fold each doc's DISTINCT shingles into ONE
+    array row (bounded by doc length), join the candidate pairs against
+    that per-doc dimension twice (narrow 2-column shuffle), and compute
+    the exact intersection per pair with ``array_intersect`` in codegen.
+    Intersection counts, sizes and scores are integer/double-identical
+    to the join-and-count form; ``ni > 0`` keeps the inner-join-on-
+    shingle semantics (a pair with no overlap never surfaced there).
+    """
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_ss"),
+        F.count("*").alias("_sz"),
     )
     return (
-        ni.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
+        cand.join(
+            sets.select(F.col(id_col).alias("a"),
+                        F.col("_ss").alias("_sa"), F.col("_sz").alias("sa")),
+            "a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("b"),
+                        F.col("_ss").alias("_sb"), F.col("_sz").alias("sb")),
+            "b",
+        )
+        .withColumn("ni", F.size(F.array_intersect("_sa", "_sb")))
+        .filter(F.col("ni") > 0)
         .withColumn("jac", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
         .filter(F.col("jac") >= threshold)
         .select("a", "b", F.round("jac", 6).alias("score"))
@@ -201,6 +222,12 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
     """
     r = k // bands
     a_arr, b_arr = minhash_params(k, seed)
+    # NOTE (r6, measured): do NOT persist one shared shingle table for
+    # both the signature pass and the verify pass — materializing the
+    # exploded (id, shingle) rows into the cache costs MORE than the
+    # scan+explode codegen it saves (3.05 -> 3.66 s at sf0.1), because
+    # the signature aggregation otherwise fuses scan -> explode -> agg
+    # in one codegen stage with map-side combine.
     sh0 = shingles(documents, text_col, id_col).withColumn(
         "h", md5_int_col(F.col("shingle")) % F.lit(MERSENNE_P)
     )
@@ -366,17 +393,20 @@ def ngram_jaccard_incremental(new_docs: DataFrame, corpus: DataFrame,
         .select("a", "b")
         .distinct()
     )
-    sz_n = sh_n.groupBy(id_col).agg(F.count("*").alias("sa"))
-    sz_c = sh_c.groupBy(id_col).agg(F.count("*").alias("sb"))
-    ni = (
-        cand.join(sh_n.select(F.col(id_col).alias("a"), "shingle"), "a")
-        .join(sh_c.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("ni"))
+    # per-doc shingle-set arrays + array_intersect instead of the
+    # pair x shingle shuffle join — same exact counts (_verify_jaccard
+    # r6 note), candidate-pair-proportional bytes
+    sets_n = sh_n.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_sa"), F.count("*").alias("sa")
+    )
+    sets_c = sh_c.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_sb"), F.count("*").alias("sb")
     )
     return (
-        ni.join(sz_n.select(F.col(id_col).alias("a"), "sa"), "a")
-        .join(sz_c.select(F.col(id_col).alias("b"), "sb"), "b")
+        cand.join(sets_n.select(F.col(id_col).alias("a"), "_sa", "sa"), "a")
+        .join(sets_c.select(F.col(id_col).alias("b"), "_sb", "sb"), "b")
+        .withColumn("ni", F.size(F.array_intersect("_sa", "_sb")))
+        .filter(F.col("ni") > 0)
         .withColumn("jac", F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
         .filter(F.col("jac") >= threshold)
         .select(F.col("a").alias("new_id"), F.col("b").alias("corpus_id"),

@@ -265,28 +265,37 @@ def pagerank_personalized(edges: DataFrame, seeds: list[str],
         e.unpersist()
         nodes.unpersist()
         return out
-    tele = nodes.withColumn(
+    # loop-invariant state hoisted out of the rounds (guide §2.4): the
+    # edge list pre-joined with its out-degree (ew), and the node table
+    # carrying teleport weight + nullable out-degree (od NULL =
+    # dangling).  Each round is then ONE edge⋈ranks join + aggregation
+    # plus a filter-aggregate for the dangling mass — the r5 form paid
+    # an extra out_deg join and a LEFT ANTI join per round for the same
+    # values (pr/od and the dangling sum are numerically unchanged).
+    out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ew = e.join(out_deg, "src").persist()
+    tele = nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left"
+    ).withColumn(
         "sv",
         F.when(F.col("node").isin(seeds), F.lit(1.0 / n_seed)).otherwise(F.lit(0.0)),
     ).persist()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
-    ranks = tele.select("node", F.col("sv").alias("pr"))
+    ranks = tele.select("node", "od", F.col("sv").alias("pr"))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(out_deg, "src")
+            ew.join(ranks.select(F.col("node").alias("src"), "pr"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("od")).alias("contrib"))
         )
         dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            ranks.filter(F.col("od").isNull())
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
             tele.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "node",
+                "node", "od",
                 (
                     F.lit(1.0 - damping) * F.col("sv")
                     + F.lit(damping)
@@ -300,6 +309,7 @@ def pagerank_personalized(edges: DataFrame, seeds: list[str],
         eager=True
     )
     tele.unpersist()
+    ew.unpersist()
     e.unpersist()
     nodes.unpersist()
     return out
@@ -537,37 +547,42 @@ def pagerank_converged(edges: DataFrame, src_col: str = "src",
         e.unpersist()
         nodes.unpersist()
         return out, 0
+    # loop-invariant state hoisted as in ``pagerank`` (guide §2.4):
+    # pre-joined edge⋈out-degree list, node table carrying nullable od
+    # (NULL = dangling; replaces the per-round LEFT ANTI join).
     out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ew = e.join(out_deg, "src").persist()
+    ninfo = nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left"
+    ).persist()
     if init_ranks is None:
-        ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+        ranks = ninfo.withColumn("pr", F.lit(1.0 / n))
     else:
         ranks = (
-            nodes.join(
+            ninfo.join(
                 init_ranks.select("node", F.col("pr").alias("pr0")),
                 "node", "left",
             )
-            .select("node",
+            .select("node", "od",
                     F.coalesce(F.col("pr0"), F.lit(1.0 / n)).alias("pr"))
         )
     ranks = ranks.localCheckpoint(eager=False)
     rounds = 0
     for _ in range(max_iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(out_deg, "src")
+            ew.join(ranks.select(F.col("node").alias("src"), "pr"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("od")).alias("contrib"))
         )
         dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "node"),
-                       "node", "left_anti")
+            ranks.filter(F.col("od").isNull())
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
         )
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            ninfo.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "node",
+                "node", "od",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -589,6 +604,8 @@ def pagerank_converged(edges: DataFrame, src_col: str = "src",
         if delta is not None and delta < tol:
             break
     out = ranks.select("node", "pr").localCheckpoint(eager=True)
+    ew.unpersist()
+    ninfo.unpersist()
     e.unpersist()
     nodes.unpersist()
     return out, rounds
@@ -623,24 +640,33 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         e.unpersist()
         nodes.unpersist()
         return out
+    # loop-invariant state hoisted out of the rounds (guide §2.4): ew =
+    # edges pre-joined with out-degree, ninfo = nodes with nullable od
+    # (NULL = dangling).  Per round: one edge⋈ranks join + aggregation,
+    # a filter-aggregate for the dangling mass, and the rank rebuild —
+    # the r5 form paid an extra out_deg join and a LEFT ANTI join per
+    # round for the same values.
     out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    ew = e.join(out_deg, "src").persist()
+    ninfo = nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left"
+    ).persist()
+    ranks = ninfo.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(out_deg, "src")
+            ew.join(ranks.select(F.col("node").alias("src"), "pr"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("od")).alias("contrib"))
         )
         dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            ranks.filter(F.col("od").isNull())
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            ninfo.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "node",
+                "node", "od",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -656,6 +682,8 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     out = ranks.select("node", F.round("pr", 6).alias("pr")).localCheckpoint(
         eager=True
     )
+    ew.unpersist()
+    ninfo.unpersist()
     e.unpersist()
     nodes.unpersist()
     return out

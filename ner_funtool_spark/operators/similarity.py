@@ -55,7 +55,15 @@ def _f64(a):
     lands on a .5e-6 boundary (latent at small sfs; the sf1 sweep's
     87k near-dup replica pairs surfaced one).  Casting the inputs
     makes both engines do identical double math on the same
-    32-bit-exact values; casting a double array is a no-op."""
+    32-bit-exact values; casting a double array is a no-op.
+
+    r6 perf note: every call site now pre-casts the embedding ONCE in
+    the projection that feeds a join/crossJoin (see the ``_f64`` calls
+    in the source-table selects), so inside the per-pair kernels this
+    cast is a no-op that Catalyst's SimplifyCasts removes — the r5
+    regression was this cast re-running per join-OUTPUT row (16x per
+    (id, m) in the PQ codebook join).  Values are unchanged either
+    way: cast(slice(x)) == slice(cast(x)) element-for-element."""
     return a.cast("array<double>")
 
 
@@ -83,15 +91,26 @@ def topk_bruteforce(embeddings: DataFrame, query_ids: list[int], k: int,
     """(query_id, neighbor_id, score, rank) exact top-k by cosine.
 
     Ties broken by neighbor id ascending so results are deterministic.
+
+    Perf shape (guide §2.3/§4): the double cast AND each side's norm
+    are computed once per ROW in the projections feeding the join, not
+    once per PAIR — the per-pair work is exactly one dot-product fold
+    plus one divide (identical doubles: same fold over the same values,
+    evaluated earlier).
     """
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("nv")
+    ).withColumn("nn", _norm(F.col("nv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "score",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -115,17 +134,29 @@ def topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = LSH_PLANES, seed: int = SEED) -> DataFrame:
     """Approximate top-k: exact cosine re-rank within the query's LSH
-    bucket only (same-bucket recall; the oracle mirrors the bucketing)."""
+    bucket only (same-bucket recall; the oracle mirrors the bucketing).
+
+    The embedding is cast to double ONCE per row (before the 8
+    plane-dot bucket projection), and each side's norm is computed in
+    its pre-join projection — per candidate pair only the dot fold and
+    a divide remain (identical doubles, guide §2.3/§4)."""
     planes = hyperplanes(n_planes, seed=seed)
-    e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    e = embeddings.select(
+        F.col(id_col), _f64(F.col(vec_col)).alias(vec_col)
+    ).withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     q = e.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
-    c = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    ).withColumn("nn", _norm(F.col("nv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "score",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -146,7 +177,9 @@ def topk_lsh_multiprobe(embeddings: DataFrame, query_ids: list[int], k: int,
     naturally distinct; exact cosine re-ranks within the probed set.
     """
     planes = hyperplanes(n_planes, seed=seed)
-    e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    e = embeddings.select(
+        F.col(id_col), _f64(F.col(vec_col)).alias(vec_col)
+    ).withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -156,12 +189,17 @@ def topk_lsh_multiprobe(embeddings: DataFrame, query_ids: list[int], k: int,
     q = e.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         probes.alias("bucket"),
-    )
-    c = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    ).withColumn("nn", _norm(F.col("nv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "score",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -200,13 +238,22 @@ def assign_clusters(embeddings: DataFrame, centroids: list[list[float]],
     """(id, vec, cid, probe_rank): each vector's ``nprobe`` nearest
     centroids by cosine (rank 1 = the IVF list it belongs to).
     The centroid table is tiny -> broadcast crossJoin + per-row window;
-    ties break by cid ascending (deterministic, oracle-mirrored)."""
+    ties break by cid ascending (deterministic, oracle-mirrored).
+
+    Perf: the vector is cast to double and its norm computed ONCE per
+    row before the 8-way centroid fan-out; each centroid's norm lives
+    on the (8-row) centroid table — per (row, centroid) only the dot
+    fold and a divide remain.  Identical doubles (same folds, hoisted).
+    The returned ``vec_col`` is the double-cast array (same values)."""
     spark = embeddings.sparkSession
-    cent = _centroid_df(spark, centroids)
+    cent = _centroid_df(spark, centroids).withColumn("_cn", _norm(F.col("cvec")))
     scored = embeddings.select(
-        F.col(id_col), F.col(vec_col)
-    ).crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", cosine(F.col(vec_col), F.col("cvec"))
+        F.col(id_col), _f64(F.col(vec_col)).alias(vec_col)
+    ).withColumn("_vn", _norm(F.col(vec_col))).crossJoin(
+        F.broadcast(cent)
+    ).withColumn(
+        "ccos",
+        _dot(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
     return (
@@ -230,15 +277,20 @@ def topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int,
     corpus = assign_clusters(embeddings, centroids, id_col, vec_col, nprobe=1)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cid"
-    )
+    ).withColumn("nn", _norm(F.col("nv")))
     q = assign_clusters(
         embeddings.filter(F.col(id_col).isin(query_ids)),
         centroids, id_col, vec_col, nprobe=nprobe,
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid")
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid"
+    ).withColumn("qn", _norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "score",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -293,20 +345,30 @@ def near_duplicates_cosine(embeddings: DataFrame, threshold: float,
     baseline.
     """
     if exact:
-        a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        base = embeddings.select(F.col(id_col), _f64(F.col(vec_col)).alias(vec_col))
+        a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va")) \
+            .withColumn("na", _norm(F.col("va")))
+        b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb")) \
+            .withColumn("nb", _norm(F.col("vb")))
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     else:
         planes = hyperplanes(n_planes, seed=seed)
-        e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+        e = embeddings.select(
+            F.col(id_col), _f64(F.col(vec_col)).alias(vec_col)
+        ).withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket") \
+            .withColumn("na", _norm(F.col("va")))
+        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket") \
+            .withColumn("nb", _norm(F.col("vb")))
         pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
-    sc = cosine(F.col("va"), F.col("vb"))
+    # cast + norms hoisted to the per-row projections above; the raw
+    # score is computed ONCE (threshold compares the unrounded value,
+    # the reported column rounds it — the repo's cross-engine rule)
+    sc = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("score", F.round(sc, 6))
-        .filter(sc >= threshold)
-        .select("a", "b", "score")
+        pairs.withColumn("_sc", sc)
+        .filter(F.col("_sc") >= threshold)
+        .select("a", "b", F.round("_sc", 6).alias("score"))
     )
 
 
@@ -362,9 +424,14 @@ def pq_encode(embeddings: DataFrame, codebooks=None, id_col: str = "vec_id",
     spark = embeddings.sparkSession
     cb = _pq_codebook_df(spark, codebooks)
     subdim = len(codebooks[0][0])  # derive the stride from the codebook
+    # cast to double ONCE per vector BEFORE the subspace slice/explode:
+    # the r5 form cast `sv` inside _l2sq per codebook-join OUTPUT row
+    # (16x per (id, m)) — the ann_topk_pq ~4x regression.  Identical
+    # values: cast(slice(x)) == slice(cast(x)).
+    v64 = _f64(F.col(vec_col))
     subs = F.array(*[
         F.struct(F.lit(m).alias("m"),
-                 F.slice(F.col(vec_col), m * subdim + 1, subdim).alias("sv"))
+                 F.slice(v64, m * subdim + 1, subdim).alias("sv"))
         for m in range(len(codebooks))
     ])
     sub = embeddings.select(F.col(id_col), F.explode(subs).alias("s")) \
@@ -388,9 +455,10 @@ def _pq_query_table(embeddings: DataFrame, query_ids: list[int], codebooks,
     spark = embeddings.sparkSession
     cb = _pq_codebook_df(spark, codebooks)
     subdim = len(codebooks[0][0])
+    v64 = _f64(F.col(vec_col))  # cast once per query vector (pq_encode note)
     qsubs = F.array(*[
         F.struct(F.lit(m).alias("m"),
-                 F.slice(F.col(vec_col), m * subdim + 1, subdim).alias("sv"))
+                 F.slice(v64, m * subdim + 1, subdim).alias("sv"))
         for m in range(len(codebooks))
     ])
     return (
@@ -515,9 +583,10 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
         subdim = len(
             embeddings.select(vec_col).first()[vec_col]
         ) // m
+    v64 = _f64(F.col(vec_col))  # cast once per vector (pq_encode note)
     subs = F.array(*[
         F.struct(F.lit(i).alias("m"),
-                 F.slice(F.col(vec_col), i * subdim + 1, subdim).alias("sv"))
+                 F.slice(v64, i * subdim + 1, subdim).alias("sv"))
         for i in range(m)
     ])
     sub = embeddings.select(F.col(id_col).alias("vid"),
@@ -571,9 +640,10 @@ def pq_distortion(embeddings: DataFrame, codebooks,
     spark = embeddings.sparkSession
     cb = _pq_codebook_df(spark, codebooks)
     subdim = len(codebooks[0][0])
+    v64 = _f64(F.col(vec_col))  # cast once per vector (pq_encode note)
     subs = F.array(*[
         F.struct(F.lit(i).alias("m"),
-                 F.slice(F.col(vec_col), i * subdim + 1, subdim).alias("sv"))
+                 F.slice(v64, i * subdim + 1, subdim).alias("sv"))
         for i in range(len(codebooks))
     ])
     sub = embeddings.select(F.col(id_col).alias("vid"),

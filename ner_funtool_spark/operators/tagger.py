@@ -34,13 +34,11 @@ from pyspark.sql import functions as F
 
 from ..config import CODE_ETYPES, DOC_ETYPES, DOC_OBJ_WORDS, DOC_OP_WORDS, SEED
 from ..functions.crf import (
-    bmes_transitions,
+    bmes_tags_from_classes,
     viterbi_decode_batch,
-    viterbi_decode_classes,
 )
 from ..functions.hashing import md5_int
 from ..functions.model import (
-    EMIT_SCORE,
     SeededAlbertBiLSTM,
     SeededBertBiLSTM,
     SeededBiLSTM,
@@ -299,7 +297,6 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from ..functions.fast_tokenize import padded_spans
 
-        trans_c, start_c, end_c = bmes_transitions(n_types)
         neural = None
         for rb in batches:
             if rb.num_rows == 0:
@@ -314,12 +311,11 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 data, offs, utb, ute, ulens, tstart, tlen = fast
                 ucls = _classes_bytes(domain, data, tstart, tlen, ulens)
                 cls, tb, te, lens = ucls[codes], utb[codes], ute[codes], ulens[codes]
-                # fused class-indicator Viterbi: no [B,S,V] emission
-                # cube (r3 memory-traffic lever, BENCH/BASELINE.md)
-                tags = viterbi_decode_classes(
-                    cls, n_types, trans_c, lens, start_c, end_c,
-                    emit_score=EMIT_SCORE,
-                )
+                # closed-form maximal-run BMES decode — provably equal
+                # to the fused class-indicator Viterbi (crf.py r6 note)
+                # with the whole [B,S]xV DP removed (the measured 8->32
+                # residual scaling cost, BENCH/BASELINE.md)
+                tags = bmes_tags_from_classes(cls, lens)
                 uniques = None
             else:
                 uniques = enc.dictionary.to_pylist()
@@ -327,10 +323,7 @@ def tag_mentions(df: DataFrame, *, domain: str = "code", mode: str = "rules",
                 toks, tb, te, lens = utoks[codes], utb[codes], ute[codes], ulens[codes]
                 if mode == "rules":
                     cls = class_fn(toks, lens)
-                    tags = viterbi_decode_classes(
-                        cls, n_types, trans_c, lens, start_c, end_c,
-                        emit_score=EMIT_SCORE,
-                    )
+                    tags = bmes_tags_from_classes(cls, lens)
                 elif mode in ("neural", "cascade", "albert"):
                     if neural is None:
                         neural = _build_encoder(mode, n_types, seed,
@@ -503,7 +496,6 @@ def tag_sequences(df: DataFrame, *, domain: str = "code", mode: str = "rules",
     out_schema += ", tokens array<string>, tags array<string>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        trans_c, start_c, end_c = bmes_transitions(n_types)
         neural = None
         for pdf in batches:
             if pdf.empty:
@@ -512,12 +504,8 @@ def tag_sequences(df: DataFrame, *, domain: str = "code", mode: str = "rules",
             toks, _tb, _te, lens = tokenize_batch(sents, max_len)
             if mode == "rules":
                 cls = class_fn(toks, lens)
-                # fused class-indicator Viterbi: no [B,S,V] emission
-                # cube (r3 memory-traffic lever, BENCH/BASELINE.md)
-                tags = viterbi_decode_classes(
-                    cls, n_types, trans_c, lens, start_c, end_c,
-                    emit_score=EMIT_SCORE,
-                )
+                # closed-form maximal-run BMES decode (crf.py r6 note)
+                tags = bmes_tags_from_classes(cls, lens)
             else:
                 if neural is None:
                     neural = _build_encoder(mode, n_types, seed)

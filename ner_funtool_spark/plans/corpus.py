@@ -43,9 +43,15 @@ def build_training_corpus(docs: DataFrame, *, min_quality: float,
     # filtered feeds BOTH the dedup edge builder and the keep stage:
     # persist so the quality projection runs once
     filtered = q.filter(F.col("quality") >= min_quality).persist()
+    # the near-dup edge list feeds the CC loop's initial checkpoint,
+    # the node list AND (through clusters) the keep stage — persist it
+    # or the whole candidate-join + exact-verify pipeline re-runs per
+    # materialization (r6, measured: 3 recomputes of ~8.6 s each at
+    # sf0.1; the edge list itself is tiny)
     edges = (
         ngram_jaccard_pairs(filtered, jaccard_t)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .persist()
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))

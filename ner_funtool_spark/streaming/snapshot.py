@@ -326,6 +326,16 @@ def write_delta(delta_df: DataFrame, store_path: str, version: int,
     else:
         man = _read_manifest(spark, store_path, pred)
         base, deltas = man["base"], list(man["deltas"])
+        # a caller switching merge spec mid-chain would silently
+        # reinterpret every EARLIER delta under the new spec at read
+        # time — refuse loudly instead (r6 ADVICE fix)
+        if man.get("merge") != merge:
+            raise ValueError(
+                f"write_delta: merge spec {merge!r} differs from the "
+                f"predecessor chain's {man.get('merge')!r} at v{pred} "
+                f"under {store_path} — a chain must keep one spec; "
+                "compact first (write_snapshot) to change it"
+            )
     if len(deltas) + 1 >= max_chain:
         frags = [spark.read.parquet(_version_dir(store_path, base))] + [
             spark.read.parquet(f"{_version_dir(store_path, d)}/{DELTA_SUBDIR}")
@@ -336,6 +346,17 @@ def write_delta(delta_df: DataFrame, store_path: str, version: int,
         return {"mode": "compacted", "version": version, "base": version,
                 "chain_len": 0}
     vdir = _version_dir(store_path, version)
+    # wipe the version dir WHOLESALE before writing the delta subdir: a
+    # slot previously committed as a FULL version (e.g. compaction took
+    # head+1 = this epoch's slot before a checkpointed resume replayed
+    # it) would otherwise keep its top-level _SUCCESS + parquet files —
+    # during the manifest delete-then-rename window a concurrent reader
+    # would classify the slot as a committed FULL head and read the
+    # stale pre-epoch view, and the dead bytes would skew store_bytes /
+    # compaction sizing forever (r6 ADVICE fix).  After this delete the
+    # only commit signal a delta slot can ever expose is its manifest.
+    fs, _, jvm = _fs_and_path(spark, store_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
     delta_df.write.mode("overwrite").parquet(f"{vdir}/{DELTA_SUBDIR}")
     _write_manifest(spark, store_path, version, {
         "base": base,

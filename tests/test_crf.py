@@ -161,3 +161,29 @@ def test_fused_class_viterbi_equals_cube():
         b = viterbi_decode_classes(cls, NT, trans, lens, start, end,
                                    emit_score=EMIT_SCORE)
         assert np.array_equal(a, b)
+
+
+def test_closed_form_bmes_equals_fused_viterbi():
+    """bmes_tags_from_classes == viterbi_decode_classes for random class
+    matrices/lengths — the r6 closed-form decode that removes the DP
+    from the rules path is a pure compute optimization, not a semantics
+    change (crf.py docstring proof sketch)."""
+    import numpy as np
+
+    from ner_funtool_spark.functions.crf import (
+        bmes_tags_from_classes,
+        bmes_transitions,
+        viterbi_decode_classes,
+    )
+    from ner_funtool_spark.functions.model import EMIT_SCORE
+
+    rng = np.random.RandomState(23)
+    for _ in range(60):
+        B, S, NT = rng.randint(1, 16), rng.randint(1, 24), rng.randint(1, 5)
+        cls = rng.randint(0, NT + 1, size=(B, S)).astype(np.int64)
+        lens = rng.randint(1, S + 1, size=B)
+        trans, start, end = bmes_transitions(NT)
+        a = viterbi_decode_classes(cls, NT, trans, lens, start, end,
+                                   emit_score=EMIT_SCORE)
+        b = bmes_tags_from_classes(cls, lens)
+        assert np.array_equal(a, b), (cls, lens, a, b)

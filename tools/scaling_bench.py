@@ -44,8 +44,13 @@ spark = get_spark("scaling", cores=cores, shuffle_partitions=cores,
                   extra={"spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024),
                          "spark.sql.files.openCostInBytes": "0"})
 src = spark.read.parquet(path)
-# warm JVM + python workers on a slice so we time the job, not startup
-build_triples(src.limit(2000), mode="rules").count()
+# warm JVM + python workers so we time the job, not startup: a
+# limit(2000) slice only touches 1-2 scan partitions, so at N cores
+# N-2 Python workers still pay their numpy/pyarrow import INSIDE the
+# timed region (r6 finding — the faster decode kernel made this ~2 s
+# fixed cost visible).  A thin sample spans every partition, spawning
+# and warming every worker the timed job will reuse.
+build_triples(src.sample(0.05, seed=1), mode="rules").count()
 t0 = time.time()
 n = build_triples(src, mode="rules").count()
 wall = time.time() - t0

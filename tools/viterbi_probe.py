@@ -7,8 +7,9 @@ directly — the hypothesized limiter of the 8->32 scaling row
 (BENCH/BASELINE.md).
 
 Usage: python tools/viterbi_probe.py [kernel] [n_procs] [reps]
-  kernel: 'cube' (materialized emission cube, r2 baseline) or
-          'fused' (class-indicator fused kernel, r3)
+  kernel: 'cube' (materialized emission cube, r2 baseline),
+          'fused' (class-indicator fused kernel, r3) or
+          'closed' (maximal-run closed form, r6 — no DP)
 """
 
 from __future__ import annotations
@@ -43,6 +44,9 @@ def _work(arg):
         if kernel == "cube":
             em = class_emissions(cls, NT)
             out = viterbi_decode_batch(em, trans, lens, start, end)
+        elif kernel == "closed":
+            from ner_funtool_spark.functions.crf import bmes_tags_from_classes
+            out = bmes_tags_from_classes(cls, lens)
         else:
             from ner_funtool_spark.functions.crf import viterbi_decode_classes
             out = viterbi_decode_classes(cls, NT, trans, lens, start, end)

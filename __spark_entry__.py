@@ -1046,8 +1046,20 @@ def _q_kg_entity_temporal(spark, sf_dir):
         return out
 
     doc_num = F.regexp_extract("path", r"docs/(\d+)\.txt", 1).cast("bigint")
-    v1 = canon_map(mentions.filter(doc_num % 2 == 0))
-    v2 = canon_map(mentions)
+    # materialize the shared mention cache once, then run the two
+    # INDEPENDENT epoch canonicalizations from two driver threads
+    # (guide §2.6 overlap): each CC loop is a chain of small jobs that
+    # leaves most executors idle, so the second epoch's jobs back-fill
+    # the first's stragglers — wall ~ max(epochs), not sum.  Results
+    # are deterministic (each thread's dataflow is self-contained and
+    # eagerly checkpointed; scheduling order cannot change values).
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    mentions.count()
+    with _TPE(max_workers=2) as _pool:
+        f1 = _pool.submit(canon_map, mentions.filter(doc_num % 2 == 0))
+        f2 = _pool.submit(canon_map, mentions)
+        v1, v2 = f1.result(), f2.result()
     hist0 = v1.select(
         "node", "canonical_id",
         F.lit("v1").alias("valid_from"),

@@ -28,7 +28,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 16384 (r6, measured): 4x fewer Arrow batch crossings on the
+        # flagship mapInArrow stage (0.75 -> 0.70 s min at sf0.1) and a
+        # larger dictionary-encode dedup window; rows on every Arrow
+        # path here are <= ~1 KB, so worst-case batch memory stays
+        # O(16 MB) per worker (guide §4.2 batch-size note)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")

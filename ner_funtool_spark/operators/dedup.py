@@ -276,8 +276,11 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float,
     )
     # candidate-proportional verification: intersect shingles only for
     # LSH candidates (never the full pair enumeration — that is the
-    # whole point of LSH at corpus scale)
-    sh = shingles(documents, text_col, id_col).persist()
+    # whole point of LSH at corpus scale).  No persist: the r6 array
+    # verify reads the shingle table exactly ONCE (the per-doc set
+    # aggregation), so caching it would only add materialization cost
+    # (the measured minhash persist lesson above).
+    sh = shingles(documents, text_col, id_col)
     return _verify_jaccard(cand, sh, id_col, threshold)
 
 

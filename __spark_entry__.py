@@ -859,6 +859,37 @@ def _q_kg_comention(spark, sf_dir):
     return comention_edges(m)
 
 
+def _prune_stale_staging(spark, path_prefix: str, table_prefixes=()) -> None:
+    """Best-effort cleanup of per-PID staging debris (r6 ADVICE fix):
+    repeated bench/driver_sim runs accumulate ``<prefix>*_p<pid>``
+    paths under /tmp and matching catalog tables for PIDs that no
+    longer exist.  Liveness check via /proc: a LIVE concurrent process
+    is never touched (PID reuse only makes a stale dir look live —
+    cleanup is skipped, never misdirected).  Errors are swallowed: the
+    prune is hygiene, not correctness."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    def _dead(name: str) -> bool:
+        m = _re.search(r"_p(\d+)$", name)
+        return bool(m) and int(m.group(1)) != _os.getpid() \
+            and not _os.path.exists(f"/proc/{m.group(1)}")
+
+    for p in _glob.glob(path_prefix + "*_p[0-9]*"):
+        if _dead(p):
+            _shutil.rmtree(p, ignore_errors=True)
+    if table_prefixes:
+        try:
+            for t in spark.catalog.listTables():
+                if any(t.name.startswith(pref) for pref in table_prefixes) \
+                        and _dead(t.name):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        except Exception:
+            pass
+
+
 def _mention_store(spark, sf_dir):
     """Stage the doc-bucketed DISTINCT (repo, path, entity) mention
     store for this sf (overwritten per call; per-PID names — the
@@ -873,6 +904,8 @@ def _mention_store(spark, sf_dir):
     m = detect_mentions(src, domain="doc", mode="rules")
     tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/")) + f"_p{_os.getpid()}"
     table = f"comention_store{tag}"
+    _prune_stale_staging(spark, "/tmp/nfs_mention_store",
+                         table_prefixes=("comention_store",))
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     write_mentions_bucketed(m, table, f"/tmp/nfs_mention_store{tag}")
     return table
@@ -1004,6 +1037,7 @@ def _q_events_time_pruned(spark, sf_dir):
     # while bench runs) must not overwrite each other's layout mid-read
     tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
     path = f"/tmp/nfs_events_bydate{tag}_p{_os.getpid()}"
+    _prune_stale_staging(spark, "/tmp/nfs_events_bydate")
     write_events_range_partitioned(ev, path)
     mn = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
     w = events_in_window(spark, path, mn + _dt.timedelta(days=1),
@@ -1325,6 +1359,8 @@ def _dual_triple_indexes(spark, sf_dir):
     tag = _re.sub(r"\W+", "_", sf_dir.rstrip("/")) + f"_p{_os.getpid()}"
     spo, ops = f"twohop_spo{tag}", f"twohop_ops{tag}"
     base = f"/tmp/nfs_twohop_store{tag}"
+    _prune_stale_staging(spark, "/tmp/nfs_twohop_store",
+                         table_prefixes=("twohop_spo", "twohop_ops"))
     spark.sql(f"DROP TABLE IF EXISTS {spo}")
     spark.sql(f"DROP TABLE IF EXISTS {ops}")
     write_triples_bucketed(t, spo, f"{base}/spo")
